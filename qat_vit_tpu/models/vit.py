@@ -1,0 +1,370 @@
+"""TPU-native Vision Transformer with first-class quantization support.
+
+Geometry is timm-compatible (``vit_{tiny,small,base}_patch16_224``: patch 16,
+cls token, learned position embeddings, pre-norm blocks, GELU MLP x4 — the
+models the reference builds via ``timm.create_model``, reference
+src/models/model_registry.py:167-172 and 228-233), but the implementation is
+designed for the MXU/XLA:
+
+- the 16x16 patch-embed convolution is expressed as patch-extraction +
+  a single GEMM (conv-as-GEMM: one [B*196, 768] x [768, D] matmul instead of
+  a conv XLA would have to rewrite anyway);
+- qkv is one fused [D, 3D] GEMM; attention is plain batched dot-products that
+  XLA fuses with the softmax on-chip (seq len 197 — no flash-attention tiling
+  needed, the whole score matrix fits VMEM);
+- all matmul weights carry logical sharding axes so the same module runs
+  replicated (pure DP) or tensor-parallel over a ``model`` mesh axis;
+- quantization is static configuration: ``quant=None`` builds the fp32/bf16
+  model, ``quant=QConfig`` builds the fake-quant QAT model over the *same*
+  parameter tree, with observer state in the ``quant_stats`` collection.
+  Fake-quant placement replicates torch ``prepare_qat`` on a timm ViT
+  (verified in the survey): weights of every Conv/Linear; activations at the
+  input stub and after every Conv/Linear/LayerNorm output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from qat_vit_tpu.quant.modules import FakeQuantizer
+from qat_vit_tpu.quant.qconfig import QConfig
+
+Dtype = Any
+
+# Logical axis names used for tensor-parallel sharding rules.
+EMBED = "embed"  # never sharded (residual stream)
+HIDDEN = "hidden"  # shardable over the `model` mesh axis (heads / mlp)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Static architecture + quantization configuration (hashable → jit key)."""
+
+    num_classes: int = 10
+    image_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    dropout_rate: float = 0.0
+    layer_norm_eps: float = 1e-6
+    # None → float model; QConfig → fake-quant QAT model.
+    quant: Optional[QConfig] = None
+    # Adds the input QuantStub fake-quant site (reference QATWrapper,
+    # model_registry.py:99-124). Only meaningful when quant is set.
+    qat_wrapper: bool = True
+    # Computation dtype (params always fp32). bf16 pre-QAT, fp32 under QAT —
+    # the reference's AMP phase gating (qat_trainer.py:320).
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + cls token
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+
+VIT_TINY = dict(embed_dim=192, depth=12, num_heads=3)
+VIT_SMALL = dict(embed_dim=384, depth=12, num_heads=6)
+VIT_BASE = dict(embed_dim=768, depth=12, num_heads=12)
+# Micro config for fast tests / dryruns.
+VIT_MICRO = dict(embed_dim=128, depth=2, num_heads=2, image_size=32, patch_size=8)
+
+
+def _trunc_normal(stddev: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
+
+
+class QuantDense(nn.Module):
+    """Dense layer with optional weight fake-quant + output activation fake-quant.
+
+    Mirrors torch ``torch.ao.nn.qat.Linear`` + its attached
+    ``activation_post_process`` (the module pair ``prepare_qat`` creates for
+    every nn.Linear, reference qat_trainer.py:307): the *weight* is
+    fake-quantized (int8 symmetric), the matmul runs in float, and the
+    *output* is fake-quantized (uint8 affine). ``quantize_output=False``
+    supports sites where torch attaches no output observer.
+    """
+
+    features: int
+    quant: Optional[QConfig]
+    quantize_output: bool = True
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_axes: Tuple[str, str] = (EMBED, HIDDEN)
+    kernel_init: Any = _trunc_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(self.kernel_init, self.kernel_axes),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros_init(), (self.kernel_axes[1],)
+                ),
+                (self.features,),
+                jnp.float32,
+            )
+            if self.use_bias
+            else None
+        )
+        if self.quant is not None:
+            # QAT path runs in fp32 (the reference disables AMP under QAT).
+            kernel = FakeQuantizer(self.quant.weight, name="weight_fq")(
+                kernel, observe=observe
+            )
+            y = jnp.dot(x.astype(jnp.float32), kernel, preferred_element_type=jnp.float32)
+            if bias is not None:
+                y = y + bias
+            if self.quantize_output:
+                y = FakeQuantizer(self.quant.activation, name="act_fq")(
+                    y, observe=observe
+                )
+            return y
+        y = jnp.dot(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class QuantLayerNorm(nn.Module):
+    """LayerNorm (float params/compute) with optional output fake-quant.
+
+    torch ``prepare_qat`` leaves LayerNorm weights float but attaches an
+    activation observer to its output (survey-verified: 16 activation sites on
+    a 2-block ViT include every LN output).
+    """
+
+    quant: Optional[QConfig]
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+        dtype = jnp.float32 if self.quant is not None else self.dtype
+        y = nn.LayerNorm(
+            epsilon=self.eps,
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name="ln",
+        )(x)
+        if self.quant is not None:
+            y = FakeQuantizer(self.quant.activation, name="act_fq")(
+                y, observe=observe
+            )
+        return y
+
+
+class PatchEmbed(nn.Module):
+    """16x16/s16 convolution as patch-extraction + one GEMM.
+
+    Equivalent to timm's Conv2d patch embed (the only conv in the model,
+    quantized by the reference via ``torch.ao.nn.qat.Conv2d``); expressed as a
+    GEMM so the QAT/int8 path reuses the quantized-matmul kernel and the MXU
+    sees one large [B*196, 768]x[768, D] contraction.
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        B, H, W, C = x.shape
+        p = cfg.patch_size
+        gh, gw = H // p, W // p
+        # [B, gh, p, gw, p, C] -> [B, gh*gw, p*p*C]; row layout (ph, pw, c)
+        # matches the torch converter in models/torch_convert.py.
+        patches = x.reshape(B, gh, p, gw, p, C)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(B, gh * gw, p * p * C)
+        return QuantDense(
+            features=cfg.embed_dim,
+            quant=cfg.quant,
+            dtype=cfg.dtype,
+            kernel_axes=("patch", EMBED),
+            name="proj",
+        )(patches, observe=observe)
+
+
+class Attention(nn.Module):
+    """timm-geometry multi-head attention with quantizable qkv/proj GEMMs.
+
+    The attention core (scores, softmax, weighted sum) runs in float on
+    fake-quantized tensors, exactly like the reference under torch.ao eager
+    QAT (survey: "LayerNorm/GELU/softmax/attention matmuls run in fp32").
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        B, N, D = x.shape
+        h, hd = cfg.num_heads, cfg.head_dim
+        qkv = QuantDense(
+            features=3 * D,
+            quant=cfg.quant,
+            dtype=cfg.dtype,
+            kernel_axes=(EMBED, HIDDEN),
+            name="qkv",
+        )(x, observe=observe)
+        qkv = qkv.reshape(B, N, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, hd]
+        q = q.transpose(0, 2, 1, 3)  # [B, h, N, hd]
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        scale = hd**-0.5
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return QuantDense(
+            features=D,
+            quant=cfg.quant,
+            dtype=cfg.dtype,
+            kernel_axes=(HIDDEN, EMBED),
+            name="proj",
+        )(out, observe=observe)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        y = QuantDense(
+            features=cfg.mlp_dim,
+            quant=cfg.quant,
+            dtype=cfg.dtype,
+            kernel_axes=(EMBED, HIDDEN),
+            name="fc1",
+        )(x, observe=observe)
+        # GELU stays float under QAT (torch leaves it unquantized).
+        y = nn.gelu(y, approximate=False)
+        return QuantDense(
+            features=cfg.embed_dim,
+            quant=cfg.quant,
+            dtype=cfg.dtype,
+            kernel_axes=(HIDDEN, EMBED),
+            name="fc2",
+        )(y, observe=observe)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block: x + Attn(LN(x)); x + MLP(LN(x))."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        y = QuantLayerNorm(
+            quant=cfg.quant, eps=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm1"
+        )(x, observe=observe)
+        x = x + Attention(cfg, name="attn")(y, observe=observe)
+        y = QuantLayerNorm(
+            quant=cfg.quant, eps=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm2"
+        )(x, observe=observe)
+        x = x + Mlp(cfg, name="mlp")(y, observe=observe)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """The flagship model: quantizable ViT for classification.
+
+    Input: NHWC float images (preprocessed: resized to ``image_size``,
+    ImageNet-normalized). Output: [B, num_classes] logits (fp32).
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        if cfg.quant is not None and cfg.qat_wrapper:
+            # QuantStub: the input fake-quant site of the reference QATWrapper.
+            x = FakeQuantizer(cfg.quant.activation, name="input_fq")(
+                x, observe=observe
+            )
+        x = PatchEmbed(cfg, name="patch_embed")(x, observe=observe)
+        B = x.shape[0]
+        cls = self.param(
+            "cls_token",
+            nn.with_logical_partitioning(_trunc_normal(1e-6), (None, None, EMBED)),
+            (1, 1, cfg.embed_dim),
+            jnp.float32,
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.with_logical_partitioning(_trunc_normal(), (None, "seq", EMBED)),
+            (1, cfg.seq_len, cfg.embed_dim),
+            jnp.float32,
+        )
+        dtype = jnp.float32 if cfg.quant is not None else cfg.dtype
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (B, 1, cfg.embed_dim)), x], axis=1
+        )
+        x = x + pos.astype(x.dtype)
+        x = x.astype(dtype)
+        for i in range(cfg.depth):
+            x = Block(cfg, name=f"blocks_{i}")(x, observe=observe)
+        x = QuantLayerNorm(
+            quant=cfg.quant, eps=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm"
+        )(x, observe=observe)
+        x = x[:, 0]  # cls-token pooling (timm global_pool='token')
+        logits = QuantDense(
+            features=cfg.num_classes,
+            quant=cfg.quant,
+            dtype=cfg.dtype,
+            kernel_axes=(EMBED, "classes"),
+            name="head",
+        )(x, observe=observe)
+        # DeQuantStub is the identity on fake-quant tensors; logits exit fp32.
+        return logits.astype(jnp.float32)
+
+
+def count_fake_quant_sites(cfg: ViTConfig) -> dict:
+    """Expected observer sites — cross-checked against torch prepare_qat.
+
+    On a 2-block ViT torch creates 10 weight + 16 activation fake-quants
+    (survey-verified); the formula below reproduces that.
+    """
+    weights = 1 + 4 * cfg.depth + 1  # patch conv + (qkv,proj,fc1,fc2)/block + head
+    acts = 1 + 4 * cfg.depth + 1  # conv out + dense outs + head out
+    acts += 2 * cfg.depth + 1  # ln1/ln2 per block + final norm
+    if cfg.qat_wrapper:
+        acts += 1  # input QuantStub
+    return {"weight": weights, "activation": acts}
+
+
+def param_count(params) -> int:
+    import jax
+
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))

@@ -1,0 +1,54 @@
+"""Flax modules carrying fake-quant observer state.
+
+Observer running min/max lives in a dedicated ``"quant_stats"`` variable
+collection (the JAX-idiomatic replacement for torch.ao's buffer mutation
+inside ``FusedMovingAvgObsFakeQuantize``): the jitted train step threads the
+collection functionally, so QAT state is explicit, checkpointable, and
+sharding-aware instead of hidden module state (reference
+src/training/qat_trainer.py:306-316 mutates the module tree in place and must
+re-wrap DDP afterwards; here nothing is re-wrapped — a different static config
+simply selects a different compiled step over the same params).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from qat_vit_tpu.quant.fake_quant import fused_moving_avg_obs_fake_quant
+from qat_vit_tpu.quant.qconfig import FakeQuantConfig
+
+
+class FakeQuantizer(nn.Module):
+    """One fake-quant site (the analog of one torch FusedMovingAvgObsFakeQuantize).
+
+    ``observe=True`` (training) updates the EMA min/max in-place in the
+    ``quant_stats`` collection; ``observe=False`` (eval) fake-quantizes with
+    frozen statistics — exactly torch's train()/eval() observer gating.
+    """
+
+    cfg: FakeQuantConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+        min_val = self.variable(
+            "quant_stats", "min_val", lambda: jnp.array(jnp.inf, jnp.float32)
+        )
+        max_val = self.variable(
+            "quant_stats", "max_val", lambda: jnp.array(-jnp.inf, jnp.float32)
+        )
+        update = observe and not self.is_initializing()
+        y, new_min, new_max = fused_moving_avg_obs_fake_quant(
+            x,
+            min_val.value,
+            max_val.value,
+            symmetric=self.cfg.symmetric,
+            quant_min=self.cfg.quant_min,
+            quant_max=self.cfg.quant_max,
+            observe=update,
+            averaging_constant=self.cfg.averaging_constant,
+        )
+        if update:
+            min_val.value = new_min
+            max_val.value = new_max
+        return y

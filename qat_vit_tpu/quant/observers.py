@@ -1,0 +1,198 @@
+"""Quantization-parameter observers as pure JAX functions.
+
+The reference delegates observation to torch.ao's C++
+``MovingAverageMinMaxObserver`` inside ``FusedMovingAvgObsFakeQuantize``
+(see reference src/training/qat_trainer.py:306-307 — ``get_default_qat_qconfig
+("qnnpack")``). Here the same numerics are pure functions over explicit state,
+so they can live inside a jitted, sharded train step.
+
+Exact torch semantics reproduced (verified empirically against torch 2.13 CPU,
+see tests/test_observers.py):
+
+- first call initializes ``min_val/max_val`` directly from the batch;
+  subsequent calls apply an EMA with ``averaging_constant = 0.01``;
+- affine (activations, quint8 [0, 255]):
+    ``scale = (max(max_val, 0) - min(min_val, 0)) / (qmax - qmin)`` floored at
+    float32 eps; ``zero_point = clip(qmin - round(min_neg / scale), qmin, qmax)``;
+- symmetric (weights, qint8 [-128, 127]):
+    ``scale = max(-min(min_val, 0), max(max_val, 0)) / ((qmax - qmin) / 2)``
+    floored at eps; ``zero_point = 0``.
+
+Rounding is IEEE round-half-to-even in both torch and ``jnp.round``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+# torch.finfo(torch.float32).eps — the scale floor torch applies.
+FLOAT32_EPS = 1.1920928955078125e-07
+
+# torch MovingAverageMinMaxObserver default averaging constant.
+DEFAULT_AVERAGING_CONSTANT = 0.01
+
+
+class MinMaxState(NamedTuple):
+    """Running min/max carried through training (a leaf-pair pytree).
+
+    ``min_val`` starts at ``+inf`` and ``max_val`` at ``-inf``; infinity marks
+    "never observed", matching torch's uninitialized-buffer convention.
+    """
+
+    min_val: jnp.ndarray  # scalar f32
+    max_val: jnp.ndarray  # scalar f32
+
+    @staticmethod
+    def init() -> "MinMaxState":
+        return MinMaxState(
+            min_val=jnp.array(jnp.inf, jnp.float32),
+            max_val=jnp.array(-jnp.inf, jnp.float32),
+        )
+
+
+def update_moving_avg_minmax(
+    state_min: jnp.ndarray,
+    state_max: jnp.ndarray,
+    x: jnp.ndarray,
+    averaging_constant: float = DEFAULT_AVERAGING_CONSTANT,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One observer step: EMA of per-batch min/max, direct init on first call.
+
+    Branch-free (selects on ``isinf``) so it traces to a single compiled step.
+    """
+    x = x.astype(jnp.float32)
+    batch_min = jnp.min(x)
+    batch_max = jnp.max(x)
+    uninit = jnp.isinf(state_min)
+    new_min = jnp.where(
+        uninit, batch_min, state_min + averaging_constant * (batch_min - state_min)
+    )
+    new_max = jnp.where(
+        uninit, batch_max, state_max + averaging_constant * (batch_max - state_max)
+    )
+    return new_min, new_max
+
+
+def qparams_affine(
+    min_val: jnp.ndarray,
+    max_val: jnp.ndarray,
+    quant_min: int = 0,
+    quant_max: int = 255,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tensor affine scale/zero-point (torch quint8 activation rule)."""
+    # Uninitialized observers (±inf) degrade to scale=1, zp=0 like torch's
+    # identity-before-first-observation behavior.
+    min_val = jnp.where(jnp.isinf(min_val), 0.0, min_val)
+    max_val = jnp.where(jnp.isinf(max_val), 0.0, max_val)
+    min_neg = jnp.minimum(min_val, 0.0)
+    max_pos = jnp.maximum(max_val, 0.0)
+    scale = (max_pos - min_neg) / float(quant_max - quant_min)
+    scale = jnp.maximum(scale, FLOAT32_EPS)
+    zero_point = quant_min - jnp.round(min_neg / scale)
+    zero_point = jnp.clip(zero_point, quant_min, quant_max)
+    return scale.astype(jnp.float32), zero_point.astype(jnp.float32)
+
+
+def qparams_symmetric(
+    min_val: jnp.ndarray,
+    max_val: jnp.ndarray,
+    quant_min: int = -128,
+    quant_max: int = 127,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tensor symmetric scale/zero-point (torch qint8 weight rule)."""
+    min_val = jnp.where(jnp.isinf(min_val), 0.0, min_val)
+    max_val = jnp.where(jnp.isinf(max_val), 0.0, max_val)
+    min_neg = jnp.minimum(min_val, 0.0)
+    max_pos = jnp.maximum(max_val, 0.0)
+    amax = jnp.maximum(-min_neg, max_pos)
+    scale = amax / (float(quant_max - quant_min) / 2.0)
+    scale = jnp.maximum(scale, FLOAT32_EPS)
+    zero_point = jnp.zeros_like(scale)
+    return scale.astype(jnp.float32), zero_point.astype(jnp.float32)
+
+
+def qparams_fused_affine(
+    min_val: jnp.ndarray,
+    max_val: jnp.ndarray,
+    quant_min: int = 0,
+    quant_max: int = 255,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Affine qparams exactly as torch's fused QAT kernel computes them.
+
+    torch's ``fused_moving_avg_obs_fake_quant`` C++ kernel derives qparams via
+    ``quant_utils::ChooseQuantizationParams``, which picks the zero-point from
+    whichever end (min or max) has the smaller nudging error. For uint8
+    activations with ``quant_min=0`` this coincides with :func:`qparams_affine`
+    (verified empirically over randomized inputs vs torch 2.13); implemented
+    in full generality anyway so non-zero ``quant_min`` ranges stay correct.
+    """
+    min_val = jnp.where(jnp.isinf(min_val), 0.0, min_val)
+    max_val = jnp.where(jnp.isinf(max_val), 0.0, max_val)
+    min_neg = jnp.minimum(min_val, 0.0)
+    max_pos = jnp.maximum(max_val, 0.0)
+    scale = (max_pos - min_neg) / float(quant_max - quant_min)
+    scale = jnp.maximum(scale, FLOAT32_EPS)
+    zp_from_min = quant_min - min_neg / scale
+    zp_from_max = quant_max - max_pos / scale
+    err_min = jnp.abs(float(quant_min)) - jnp.abs(min_neg / scale)
+    err_max = jnp.abs(float(quant_max)) - jnp.abs(max_pos / scale)
+    zero_point = jnp.where(err_min < err_max, zp_from_min, zp_from_max)
+    zero_point = jnp.clip(jnp.round(zero_point), quant_min, quant_max)
+    return scale.astype(jnp.float32), zero_point.astype(jnp.float32)
+
+
+def qparams_fused_symmetric(
+    min_val: jnp.ndarray,
+    max_val: jnp.ndarray,
+    quant_min: int = -128,
+    quant_max: int = 127,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric qparams exactly as torch's fused QAT kernel computes them.
+
+    NOT the same as :func:`qparams_symmetric` (the observer's
+    ``calculate_qparams`` that torch uses at convert time). The fused kernel's
+    ``ChooseQuantizationParams(..., preserve_sparsity=True)`` instead uses,
+    when the running range straddles zero::
+
+        scale = max(-min_val / |qmin|, max_val / qmax)   # e.g. /128 vs /127
+        zero_point = 0
+
+    and degrades to the affine rule when the range is one-sided (all-positive
+    weights quantize with zp = qmin, etc.). Verified bit-exact against torch
+    2.13 over randomized ranges (tests/test_fake_quant.py). This train-time /
+    convert-time formula split is a genuine torch.ao inconsistency the
+    reference inherits; both are reproduced faithfully.
+    """
+    min_val = jnp.where(jnp.isinf(min_val), 0.0, min_val)
+    max_val = jnp.where(jnp.isinf(max_val), 0.0, max_val)
+    both_signs = (min_val < 0.0) & (max_val > 0.0)
+    # preserve-sparsity branch
+    sym_qmin = -((quant_max - quant_min) // 2 + 1)  # -128
+    sym_qmax = (quant_max - quant_min) // 2  # 127
+    scale_sym = jnp.maximum(-min_val / -float(sym_qmin), max_val / float(sym_qmax))
+    # one-sided branch: the plain affine rule
+    scale_aff, zp_aff = qparams_fused_affine(min_val, max_val, quant_min, quant_max)
+    scale = jnp.where(both_signs, jnp.maximum(scale_sym, FLOAT32_EPS), scale_aff)
+    zero_point = jnp.where(both_signs, 0.0, zp_aff)
+    return scale.astype(jnp.float32), zero_point.astype(jnp.float32)
+
+
+def qparams_symmetric_per_channel(
+    w: jnp.ndarray,
+    axis: int,
+    quant_min: int = -128,
+    quant_max: int = 127,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel symmetric qparams straight from a weight tensor.
+
+    Not used by the parity path (the reference is per-tensor everywhere) but
+    exposed because per-channel weight quantization is the standard accuracy
+    upgrade and the int8 kernel supports a per-column scale vector.
+    """
+    reduce_axes = tuple(i for i in range(w.ndim) if i != axis)
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes)
+    scale = amax / (float(quant_max - quant_min) / 2.0)
+    scale = jnp.maximum(scale, FLOAT32_EPS)
+    return scale.astype(jnp.float32), jnp.zeros_like(scale)
