@@ -1,0 +1,249 @@
+"""In-repo hyperparameter optimization: TPE sampler + median pruner + study.
+
+The reference drives its search with Optuna (``TPESampler(multivariate=True,
+seed=0)`` + ``MedianPruner(n_startup_trials=5, n_warmup_steps=1)``, reference
+src/training/optuna_search.py:127-129). Optuna is not available in this
+environment, so the same contract is implemented here: a Tree-structured
+Parzen Estimator sampler (Bergstra et al., NeurIPS 2011 — independent Parzen
+windows per dimension, log-domain support, γ-quantile good/bad split,
+argmax of l(x)/g(x) over candidates), a median pruner with startup/warmup
+gates, and a Study/Trial API shaped like Optuna's so the search driver code
+reads identically. When real optuna IS importable, the driver uses it instead
+(see search/driver.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+
+class TrialPruned(Exception):
+    """Raised inside an objective to abort an unpromising trial."""
+
+
+@dataclasses.dataclass
+class ParamSpec:
+    name: str
+    low: float
+    high: float
+    log: bool = False
+    integer: bool = False
+
+    def to_internal(self, v: float) -> float:
+        return math.log(v) if self.log else float(v)
+
+    def from_internal(self, u: float) -> float:
+        v = math.exp(u) if self.log else u
+        v = min(max(v, self.low), self.high)
+        return int(round(v)) if self.integer else v
+
+    @property
+    def internal_bounds(self):
+        if self.log:
+            return math.log(self.low), math.log(self.high)
+        return self.low, self.high
+
+
+@dataclasses.dataclass
+class FrozenTrial:
+    number: int
+    params: Dict[str, float]
+    value: Optional[float] = None
+    state: str = "RUNNING"  # RUNNING / COMPLETE / PRUNED / FAIL
+    intermediate: Dict[int, float] = dataclasses.field(default_factory=dict)
+
+
+class MedianPruner:
+    """Prune when the intermediate value is below the median of completed
+    trials' values at the same step (maximize direction), after
+    ``n_startup_trials`` completed trials and ``n_warmup_steps`` steps —
+    optuna's MedianPruner semantics (reference optuna_search.py:128-129)."""
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 1):
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+
+    def should_prune(self, study: "Study", trial: FrozenTrial) -> bool:
+        if not trial.intermediate:
+            return False
+        step = max(trial.intermediate)
+        if step < self.n_warmup_steps:
+            return False
+        completed = [t for t in study.trials if t.state == "COMPLETE"]
+        if len(completed) < self.n_startup_trials:
+            return False
+        peers = [t.intermediate[step] for t in completed if step in t.intermediate]
+        if not peers:
+            return False
+        median = float(np.median(peers))
+        sign = 1.0 if study.direction == "maximize" else -1.0
+        return sign * trial.intermediate[step] < sign * median
+
+
+class TPESampler:
+    """Independent-dimension TPE with optuna-like defaults.
+
+    good/bad split uses optuna's γ: ``min(ceil(0.1·n), 25)`` top trials;
+    Parzen bandwidths follow a scaled Silverman rule with a prior-width
+    floor; 24 candidates are drawn from l(x) and ranked by l(x)/g(x).
+    """
+
+    def __init__(self, seed: int = 0, n_startup_trials: int = 10,
+                 n_candidates: int = 24):
+        self.rng = np.random.default_rng(seed)
+        self.n_startup_trials = n_startup_trials
+        self.n_candidates = n_candidates
+
+    def _uniform(self, spec: ParamSpec) -> float:
+        lo, hi = spec.internal_bounds
+        return spec.from_internal(float(self.rng.uniform(lo, hi)))
+
+    def sample(self, study: "Study", spec: ParamSpec) -> float:
+        history = [
+            (t.params[spec.name], t.value)
+            for t in study.trials
+            if t.state in ("COMPLETE", "PRUNED")
+            and spec.name in t.params
+            and t.value is not None
+        ]
+        if len(history) < self.n_startup_trials:
+            return self._uniform(spec)
+
+        sign = -1.0 if study.direction == "maximize" else 1.0
+        history.sort(key=lambda pv: sign * pv[1])
+        n = len(history)
+        n_good = min(int(np.ceil(0.1 * n)), 25)
+        n_good = max(n_good, 1)
+        good = np.array([spec.to_internal(p) for p, _ in history[:n_good]])
+        bad = np.array([spec.to_internal(p) for p, _ in history[n_good:]]) \
+            if n > n_good else np.array([])
+
+        lo, hi = spec.internal_bounds
+        width = hi - lo
+
+        def bandwidth(obs):
+            if len(obs) < 2:
+                return width / 3.0
+            sigma = np.std(obs) + 1e-12
+            return max(sigma * (len(obs) ** -0.2), width / (1.0 + len(obs)))
+
+        bw_g, bw_b = bandwidth(good), bandwidth(bad)
+
+        def log_pdf(x, centers, bw):
+            if len(centers) == 0:
+                return np.full_like(x, -np.log(width))  # uniform prior
+            # mixture of gaussians + uniform prior component
+            d = (x[:, None] - centers[None, :]) / bw
+            comp = -0.5 * d * d - np.log(bw * math.sqrt(2 * math.pi))
+            comp = np.concatenate(
+                [comp, np.full((len(x), 1), -np.log(width))], axis=1
+            )
+            m = comp.max(axis=1, keepdims=True)
+            return (m[:, 0] + np.log(np.exp(comp - m).sum(axis=1))) - math.log(
+                comp.shape[1]
+            )
+
+        # sample candidates from the good-KDE (plus prior exploration)
+        idx = self.rng.integers(0, len(good) + 1, self.n_candidates)
+        cands = np.where(
+            idx < len(good),
+            good[np.minimum(idx, len(good) - 1)]
+            + self.rng.normal(0, bw_g, self.n_candidates),
+            self.rng.uniform(lo, hi, self.n_candidates),
+        )
+        cands = np.clip(cands, lo, hi)
+        score = log_pdf(cands, good, bw_g) - log_pdf(cands, bad, bw_b)
+        return spec.from_internal(float(cands[np.argmax(score)]))
+
+
+class Trial:
+    """Optuna-shaped trial handle passed to the objective."""
+
+    def __init__(self, study: "Study", frozen: FrozenTrial):
+        self._study = study
+        self._frozen = frozen
+        self.number = frozen.number
+
+    def suggest_float(self, name: str, low: float, high: float, log: bool = False) -> float:
+        spec = ParamSpec(name, low, high, log=log)
+        v = self._study.sampler.sample(self._study, spec)
+        self._frozen.params[name] = v
+        return v
+
+    def suggest_int(self, name: str, low: int, high: int) -> int:
+        spec = ParamSpec(name, low, high, integer=True)
+        v = int(self._study.sampler.sample(self._study, spec))
+        self._frozen.params[name] = v
+        return v
+
+    def report(self, value: float, step: int) -> None:
+        self._frozen.intermediate[step] = float(value)
+
+    def should_prune(self) -> bool:
+        return self._study.pruner.should_prune(self._study, self._frozen)
+
+    @property
+    def params(self) -> Dict[str, float]:
+        return dict(self._frozen.params)
+
+
+class Study:
+    """Optuna-shaped study: ``optimize``, ``best_params``, ``best_value``."""
+
+    def __init__(self, direction: str = "maximize",
+                 sampler: Optional[TPESampler] = None,
+                 pruner: Optional[MedianPruner] = None):
+        assert direction in ("maximize", "minimize")
+        self.direction = direction
+        self.sampler = sampler or TPESampler()
+        self.pruner = pruner or MedianPruner()
+        self.trials: List[FrozenTrial] = []
+
+    def optimize(self, objective: Callable[[Trial], float], n_trials: int,
+                 catch: tuple = ()) -> None:
+        for _ in range(n_trials):
+            frozen = FrozenTrial(number=len(self.trials), params={})
+            self.trials.append(frozen)
+            trial = Trial(self, frozen)
+            try:
+                value = objective(trial)
+                frozen.value = float(value)
+                frozen.state = "COMPLETE"
+            except TrialPruned:
+                # last reported intermediate becomes the trial value (optuna)
+                if frozen.intermediate:
+                    frozen.value = frozen.intermediate[max(frozen.intermediate)]
+                frozen.state = "PRUNED"
+            except catch:
+                frozen.state = "FAIL"
+
+    @property
+    def best_trial(self) -> FrozenTrial:
+        done = [t for t in self.trials if t.state == "COMPLETE"]
+        if not done:
+            raise ValueError("no completed trials")
+        key = (lambda t: t.value) if self.direction == "maximize" else (lambda t: -t.value)
+        return max(done, key=key)
+
+    @property
+    def best_params(self) -> Dict[str, float]:
+        return dict(self.best_trial.params)
+
+    @property
+    def best_value(self) -> float:
+        return self.best_trial.value
+
+
+def create_study(direction: str = "maximize", seed: int = 0,
+                 n_startup_trials: int = 5, n_warmup_steps: int = 1) -> Study:
+    """Factory with the reference's sampler/pruner settings
+    (optuna_search.py:127-129)."""
+    return Study(
+        direction=direction,
+        sampler=TPESampler(seed=seed),
+        pruner=MedianPruner(n_startup_trials, n_warmup_steps),
+    )

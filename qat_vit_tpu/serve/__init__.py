@@ -1,0 +1,5 @@
+"""Serving: runnable int8 inference (the working best_converted path)."""
+
+from qat_vit_tpu.serve.int8_vit import convert_vit, int8_apply, make_int8_forward
+
+__all__ = ["convert_vit", "int8_apply", "make_int8_forward"]

@@ -1,0 +1,161 @@
+"""True-int8 ViT inference: convert + a runnable serving forward.
+
+This is the component the reference *intended* but never achieved: its eager
+``convert`` output crashes on a ViT because float tensor ops (cls-token
+concat, pos-embed add, residual adds, attention) cannot consume quantized
+tensors (survey-verified; reference src/training/qat_trainer.py:376-388 saves
+``best_converted.pth`` which is unloadable-for-inference). Working semantics
+defined here:
+
+- every GEMM (patch embed, qkv, attn proj, fc1, fc2, head) runs int8 on the
+  MXU, its input quantized with *static* qparams from trained observers;
+- ops between GEMMs (LayerNorm, GELU, softmax, residual adds) stay float —
+  exactly the precision profile QAT trained the network for;
+- two GEMM inputs have no direct observer (torch attaches none): the attn
+  ``proj`` input reuses the qkv output observer (attention output is a convex
+  combination of v rows, so the qkv range bounds it), and the ``fc2`` input
+  uses a GELU-transformed image of the fc1 output range (see
+  quant/convert.gelu_transform_qparams). Both divergences are deliberate and
+  documented — the reference had no running behavior to match.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from qat_vit_tpu.models.vit import ViTConfig
+from qat_vit_tpu.ops.quantized_matmul import quantized_dense
+from qat_vit_tpu.quant.convert import (
+    act_qparams,
+    dense_int8,
+    gelu_transform_qparams,
+    ln_params,
+)
+from qat_vit_tpu.quant.qconfig import QConfig, default_qat_qconfig
+
+
+def convert_vit(
+    params: Dict[str, Any],
+    quant_stats: Dict[str, Any],
+    cfg: ViTConfig,
+) -> Dict[str, Any]:
+    """Fold observers into an int8 export pytree (replaces best_converted.pth).
+
+    The returned tree is plain arrays (int8 weights, f32 scales/bias) —
+    checkpointable with utils.checkpoint and consumable by :func:`int8_apply`.
+    """
+    qcfg = cfg.quant or default_qat_qconfig()
+    out: Dict[str, Any] = {
+        "cls_token": jnp.asarray(params["cls_token"], jnp.float32),
+        "pos_embed": jnp.asarray(params["pos_embed"], jnp.float32),
+        "patch_embed": dense_int8(
+            params["patch_embed"]["proj"], quant_stats["patch_embed"]["proj"], qcfg
+        ),
+        "norm": ln_params(params["norm"], quant_stats["norm"], qcfg),
+        "head": dense_int8(params["head"], quant_stats["head"], qcfg),
+    }
+    if cfg.qat_wrapper and "input_fq" in quant_stats:
+        fq = quant_stats["input_fq"]
+        out["input_q"] = act_qparams(fq["min_val"], fq["max_val"], qcfg)
+    else:
+        raise ValueError(
+            "int8 conversion requires the input QuantStub observer "
+            "(train with qat_wrapper=True, as the reference does)"
+        )
+    blocks = []
+    for i in range(cfg.depth):
+        p, s = params[f"blocks_{i}"], quant_stats[f"blocks_{i}"]
+        fc1 = dense_int8(p["mlp"]["fc1"], s["mlp"]["fc1"], qcfg)
+        blocks.append(
+            {
+                "norm1": ln_params(p["norm1"], s["norm1"], qcfg),
+                "qkv": dense_int8(p["attn"]["qkv"], s["attn"]["qkv"], qcfg),
+                "proj": dense_int8(p["attn"]["proj"], s["attn"]["proj"], qcfg),
+                "norm2": ln_params(p["norm2"], s["norm2"], qcfg),
+                "fc1": fc1,
+                # static qparams for the fc2 input, derived through the GELU
+                "gelu_q": gelu_transform_qparams(
+                    s["mlp"]["fc1"]["act_fq"]["min_val"],
+                    s["mlp"]["fc1"]["act_fq"]["max_val"],
+                    qcfg,
+                ),
+                "fc2": dense_int8(p["mlp"]["fc2"], s["mlp"]["fc2"], qcfg),
+            }
+        )
+    out["blocks"] = blocks
+    return out
+
+
+def _layernorm(x: jnp.ndarray, ln: Dict[str, Any], eps: float) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * ln["scale"] + ln["bias"]
+
+
+def _extract_patches(x: jnp.ndarray, patch: int) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    gh, gw = h // patch, w // patch
+    x = x.reshape(b, gh, patch, gw, patch, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+def int8_apply(
+    qp: Dict[str, Any],
+    images: jnp.ndarray,  # [B, H, W, 3] preprocessed (normalized f32)
+    cfg: ViTConfig,
+    *,
+    attn_dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Int8 serving forward → [B, num_classes] f32 logits. Jittable."""
+    h_heads, hd = cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+    qd = partial(quantized_dense, use_pallas=use_pallas)
+
+    patches = _extract_patches(images.astype(jnp.float32), cfg.patch_size)
+    x = qd(patches, qp["patch_embed"], qp["input_q"])
+    B = x.shape[0]
+    cls = jnp.broadcast_to(qp["cls_token"], (B, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1) + qp["pos_embed"]
+
+    for blk in qp["blocks"]:
+        y = _layernorm(x, blk["norm1"], eps)
+        qkv = qd(y, blk["qkv"], blk["norm1"]["out_q"])
+        N = qkv.shape[1]
+        qkv = qkv.reshape(B, N, 3, h_heads, hd).astype(attn_dtype)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q.transpose(0, 2, 1, 3) * (hd**-0.5)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn_dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, cfg.embed_dim).astype(jnp.float32)
+        # proj input bounded by the qkv output range (convex combination of v)
+        x = x + qd(o, blk["proj"], blk["qkv"]["out_q"])
+        y = _layernorm(x, blk["norm2"], eps)
+        f = qd(y, blk["fc1"], blk["norm2"]["out_q"])
+        f = jax.nn.gelu(f, approximate=False)
+        x = x + qd(f, blk["fc2"], blk["gelu_q"])
+
+    y = _layernorm(x, qp["norm"], eps)[:, 0]
+    logits = qd(y, qp["head"], qp["norm"]["out_q"])
+    return logits.astype(jnp.float32)
+
+
+def make_int8_forward(cfg: ViTConfig, *, attn_dtype=jnp.float32, use_pallas=None):
+    """Jitted serving closure: (qparams, normalized images) → logits."""
+
+    @jax.jit
+    def fwd(qp, images):
+        return int8_apply(
+            qp, images, cfg, attn_dtype=attn_dtype, use_pallas=use_pallas
+        )
+
+    return fwd

@@ -1,0 +1,113 @@
+"""Three-tier hyperparameter config: defaults → YAML overlay → CLI overrides.
+
+Exactly the reference's precedence scheme (src/training/qat_trainer.py:36-46
+``DEFAULT_HPARAMS``, :84-109 ``_load_hparams`` with type normalization and a
+missing-file warning, :163-182 per-flag CLI overrides, :188-191 effective
+config persisted for traceability). The YAML it reads is the flat
+``best_params.yaml`` the search emits — the same contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+logger = logging.getLogger(__name__)
+
+# Reference DEFAULT_HPARAMS (qat_trainer.py:36-46) + TPU-build additions.
+DEFAULT_HPARAMS: Dict[str, Any] = {
+    "lr": 1.5e-4,
+    "weight_decay": 1e-3,
+    "label_smoothing": 0.1,
+    "kd_temperature": 4.0,
+    "kd_alpha": 0.5,
+    "qat_start_epoch": 2,
+    "epochs": 10,
+    "batch_size": 256,
+    "qat_backend": "qnnpack",
+    # TPU-build additions (defaults preserve reference behavior):
+    "qat_lr_scale": 0.5,  # LR×0.5 at QAT enable (qat_trainer.py:315)
+    "amp": True,  # bf16 pre-QAT ≙ AMP phase gating (qat_trainer.py:320)
+    "grad_clip_norm": 1.0,  # clip_grad_norm_(1.0) (qat_trainer.py:355)
+    "seed": 0,
+    "image_size": 224,
+    "num_classes": 10,
+    "eval_batch_size": 512,
+    "model_parallel": 1,  # TP degree (1 = pure DP, the reference's strategy)
+    "data_dir": "./data",
+    "output_dir": "./qat_output",
+    "mlflow_uri": "sqlite:///mlflow.db",
+    "experiment": "clue-vit-qat-final",  # reference experiment name
+    "student_family": "vit",
+    "limit_train_batches": 0,  # 0 = full epoch
+    "limit_eval_batches": 0,
+}
+
+_TYPES = {k: type(v) for k, v in DEFAULT_HPARAMS.items()}
+
+
+def _cast(key: str, value: Any) -> Any:
+    """Type-normalize a YAML/CLI value to the default's type (ref :87-96)."""
+    t = _TYPES.get(key)
+    if t is None or value is None:
+        return value
+    if t is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes", "on")
+    try:
+        return t(value)
+    except (TypeError, ValueError):
+        logger.warning("could not cast hparam %s=%r to %s; keeping raw", key, value, t)
+        return value
+
+
+def load_hparams(config_path: Optional[str] = None) -> Dict[str, Any]:
+    """defaults → optional flat-YAML overlay with casting (ref :84-109)."""
+    hp = dict(DEFAULT_HPARAMS)
+    if config_path:
+        if os.path.isfile(config_path):
+            with open(config_path) as f:
+                overlay = yaml.safe_load(f) or {}
+            if not isinstance(overlay, dict):
+                raise ValueError(f"config {config_path!r} must be a flat mapping")
+            for k, v in overlay.items():
+                hp[k] = _cast(k, v)
+        else:
+            logger.warning("config %s not found; using defaults", config_path)
+    return hp
+
+
+def add_hparam_flags(parser: argparse.ArgumentParser) -> None:
+    """One CLI flag per hyperparameter (ref :163-182)."""
+    parser.add_argument("--config", type=str, default=None,
+                        help="flat YAML overlay (e.g. best_params.yaml)")
+    for key, default in DEFAULT_HPARAMS.items():
+        flag = "--" + key.replace("_", "-")
+        if isinstance(default, bool):
+            parser.add_argument(flag, type=str, default=None,
+                                help=f"bool, default {default}")
+        else:
+            parser.add_argument(flag, type=type(default), default=None,
+                                help=f"default {default}")
+
+
+def resolve_hparams(args: argparse.Namespace) -> Dict[str, Any]:
+    """defaults → YAML → non-None CLI flags (highest precedence)."""
+    hp = load_hparams(getattr(args, "config", None))
+    for key in DEFAULT_HPARAMS:
+        val = getattr(args, key, None)
+        if val is not None:
+            hp[key] = _cast(key, val)
+    return hp
+
+
+def save_effective_hparams(hp: Dict[str, Any], output_dir: str) -> str:
+    """Persist the resolved config (ref :188-191, effective_hparams.yaml)."""
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "effective_hparams.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(hp, f, sort_keys=True)
+    return path

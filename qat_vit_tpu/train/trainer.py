@@ -1,0 +1,461 @@
+"""KD + QAT trainer: the reference's final-training entry, TPU-native.
+
+Re-design of reference ``src/training/qat_trainer.py:112-423``: a frozen
+ViT-B teacher distills into a (QAT-wrapped) ViT-S student on CIFAR-10 with
+α·KL·T² + (1−α)·CE(label-smoothing), AdamW + clip(1.0), QAT enabled at
+``qat_start_epoch`` (optimizer re-created at LR×qat_lr_scale), rank-0 eval +
+best-checkpointing per epoch, int8 conversion + true-int8 eval on the last
+epoch, and MLflow-style metric logging under the reference's metric names.
+
+Differences by design (all survey-flagged):
+- the phase switch swaps between two *compiled pure steps* over one parameter
+  pytree instead of mutating a module tree and re-wrapping DDP (:300-316);
+- gradient sync is XLA ``psum`` from batch sharding, not NCCL buckets;
+- observer min/max reduce over the global batch (replica-consistent) instead
+  of drifting per-replica;
+- the converted int8 model actually runs (serve/int8_vit.py), so
+  ``quant_acc`` on the last epoch is a real int8 number, not an alias.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.linen as nn
+
+from qat_vit_tpu.data import ArrayLoader, load_cifar10
+from qat_vit_tpu.models import ModelBundle, create_student, create_teacher
+from qat_vit_tpu.parallel import (
+    barrier,
+    get_dist_info,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from qat_vit_tpu.quant import default_qat_qconfig
+from qat_vit_tpu.serve.int8_vit import convert_vit, make_int8_forward
+from qat_vit_tpu.tracking import NullRun, make_tracker
+from qat_vit_tpu.train.config import (
+    DEFAULT_HPARAMS,
+    add_hparam_flags,
+    resolve_hparams,
+    save_effective_hparams,
+)
+from qat_vit_tpu.train.steps import (
+    TrainState,
+    init_quant_stats,
+    loss_hparams,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    set_optimizer_hyperparams,
+)
+from qat_vit_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def _unbox(tree):
+    return nn.meta.unbox(tree)
+
+
+@dataclasses.dataclass
+class EpochResult:
+    epoch: int
+    train_loss: float
+    qat_acc: float
+    quant_acc: float
+    qat_enabled: bool
+    imgs_per_sec: float
+
+
+class KDQATTrainer:
+    """Reusable KD+QAT engine (driven by both the final-training CLI and the
+    hyperparameter search)."""
+
+    def __init__(
+        self,
+        hparams: Dict[str, Any],
+        *,
+        data: Optional[Dict[str, np.ndarray]] = None,
+        mesh=None,
+        run=None,
+        student: Optional[ModelBundle] = None,
+        teacher: Optional[ModelBundle] = None,
+        teacher_params: Optional[Any] = None,
+        seed: Optional[int] = None,
+        steps: Optional[Dict[str, Callable]] = None,
+    ):
+        self.hp = dict(hparams)
+        self.dist = get_dist_info()
+        self.mesh = mesh if mesh is not None else make_mesh(
+            model=int(self.hp.get("model_parallel", 1))
+        )
+        self.run = run if run is not None else NullRun()
+        seed = int(self.hp["seed"] if seed is None else seed)
+        self.rng = jax.random.key(seed)
+
+        image_size = int(self.hp["image_size"])
+        num_classes = int(self.hp["num_classes"])
+        dtype = jnp.bfloat16 if self.hp.get("amp", True) else jnp.float32
+
+        # ---- models (reference qat_trainer.py:257-262) ----
+        family = self.hp.get("student_family", "vit")
+        self.teacher = teacher if teacher is not None else create_teacher(
+            family, num_classes=num_classes, dtype=jnp.bfloat16,
+            image_size=image_size,
+        )
+        # Two static student configs over one param tree: float (bf16-able)
+        # and QAT (fp32 + fake-quant).
+        base_student = student if student is not None else create_student(
+            family, num_classes=num_classes, image_size=image_size
+        )
+        qconfig = default_qat_qconfig(self.hp.get("qat_backend", "qnnpack"))
+        self.student_qat_cfg = dataclasses.replace(
+            base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=jnp.float32
+        )
+        self.student_float_cfg = dataclasses.replace(
+            base_student.cfg, quant=None, qat_wrapper=False, dtype=dtype
+        )
+        from qat_vit_tpu.models.vit import VisionTransformer
+
+        self.student_float = VisionTransformer(self.student_float_cfg)
+        self.student_qat = VisionTransformer(self.student_qat_cfg)
+
+        # ---- parameters ----
+        rng_t, rng_s, self.rng = jax.random.split(self.rng, 3)
+        repl = replicated_sharding(self.mesh)
+        if teacher_params is None:
+            teacher_params = _unbox(
+                self.teacher.module.init(
+                    rng_t, self.teacher.example_input(1), observe=False
+                )
+            )["params"]
+        # frozen teacher in bf16 (reference freezes + no_grad, :257-260)
+        self.teacher_params = jax.device_put(
+            jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), teacher_params), repl
+        )
+        student_vars = _unbox(
+            self.student_float.init(
+                rng_s,
+                jnp.zeros((1, image_size, image_size, 3), jnp.float32),
+                observe=False,
+            )
+        )
+        params = jax.device_put(student_vars["params"], repl)
+
+        # ---- optimizer + state ----
+        self.tx = make_optimizer(
+            float(self.hp["lr"]),
+            float(self.hp["weight_decay"]),
+            float(self.hp.get("grad_clip_norm", 1.0)),
+        )
+        opt_state = self.tx.init(params)
+        opt_state = set_optimizer_hyperparams(
+            opt_state,
+            learning_rate=float(self.hp["lr"]),
+            weight_decay=float(self.hp["weight_decay"]),
+        )
+        self.state = TrainState(
+            params=params,
+            opt_state=jax.device_put(opt_state, repl),
+            quant_stats=None,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.qat_enabled = False
+        self.loss_hp = loss_hparams(self.hp)
+
+        # ---- compiled steps (shareable across trainers via `steps=`) ----
+        teacher_apply = lambda p, x: self.teacher.module.apply(  # noqa: E731
+            {"params": p}, x, observe=False
+        )
+        self._teacher_apply = teacher_apply
+        shared = steps if steps is not None else {}
+        self.train_step_float = shared.get("train_float") or make_train_step(
+            teacher_apply, self.student_float.apply, self.tx,
+            qat=False, image_size=image_size,
+        )
+        self.eval_step_float = shared.get("eval_float") or make_eval_step(
+            self.student_float.apply, qat=False, image_size=image_size
+        )
+        self.train_step_qat = shared.get("train_qat") or make_train_step(
+            teacher_apply, self.student_qat.apply, self.tx,
+            qat=True, image_size=image_size,
+        )
+        self.eval_step_qat = shared.get("eval_qat") or make_eval_step(
+            self.student_qat.apply, qat=True, image_size=image_size
+        )
+
+        # ---- data (reference :210-254) ----
+        if data is None:
+            data, source = load_cifar10(self.hp.get("data_dir", "./data"))
+            logger.info("CIFAR-10 source: %s", source)
+            if source == "synthetic":
+                self.run.set_tag("data_source", "synthetic")
+        self.data = data
+        self.train_loader = ArrayLoader(
+            data["train_images"], data["train_labels"],
+            batch_size=int(self.hp["batch_size"]),
+            shuffle=True, seed=seed,
+            rank=self.dist.rank, world_size=self.dist.world_size,
+            drop_last=True,
+        )
+        self.eval_loader = ArrayLoader(
+            data["test_images"], data["test_labels"],
+            batch_size=int(self.hp.get("eval_batch_size", 512)),
+            shuffle=False, drop_last=False, prefetch=2,
+        )
+        self.image_size = image_size
+
+    # ------------------------------------------------------------------
+    def shared_steps(self) -> Dict[str, Callable]:
+        """Hand these to the next trainer (same architecture/hparams-shape) to
+        reuse compiled steps — zero recompiles across search trials."""
+        return {
+            "train_float": self.train_step_float,
+            "eval_float": self.eval_step_float,
+            "train_qat": self.train_step_qat,
+            "eval_qat": self.eval_step_qat,
+        }
+
+    # ------------------------------------------------------------------
+    def enable_qat(self) -> None:
+        """The QAT phase switch (reference :300-316): fresh observers, fresh
+        optimizer moments at LR×qat_lr_scale, swap to the fake-quant compiled
+        step. No recompilation and no module surgery — the QAT step was
+        compiled up front and the LR lives in optimizer state."""
+        if self.qat_enabled:
+            return
+        repl = replicated_sharding(self.mesh)
+        quant_stats = jax.device_put(
+            init_quant_stats(self.student_qat, self.student_qat_cfg), repl
+        )
+        lr = float(self.hp["lr"]) * float(self.hp.get("qat_lr_scale", 0.5))
+        opt_state = self.tx.init(self.state.params)  # fresh moments (ref :315)
+        opt_state = set_optimizer_hyperparams(
+            opt_state, learning_rate=lr,
+            weight_decay=float(self.hp["weight_decay"]),
+        )
+        self.state = TrainState(
+            params=self.state.params,
+            opt_state=jax.device_put(opt_state, repl),
+            quant_stats=quant_stats,
+            step=self.state.step,
+        )
+        self.qat_enabled = True
+        logger.info("QAT enabled (lr -> %.3g)", lr)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int, limit_batches: int = 0) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        step_fn = self.train_step_qat if self.qat_enabled else self.train_step_float
+        device_metrics = []  # device scalars: no host sync until epoch end
+        n_batches = 0
+        n_images = 0
+        t0 = time.perf_counter()
+        for i, batch in enumerate(self.train_loader):
+            if limit_batches and i >= limit_batches:
+                break
+            batch = shard_batch(
+                {"image": batch["image"], "label": batch["label"]}, self.mesh
+            )
+            self.state, metrics = step_fn(
+                self.state, self.teacher_params, batch, self.loss_hp
+            )
+            device_metrics.append(metrics)
+            n_batches += 1
+            n_images += int(self.hp["batch_size"]) * self.dist.world_size
+        # block on the last step for honest timing
+        jax.block_until_ready(self.state.params)
+        dt = time.perf_counter() - t0
+        if not device_metrics:
+            return {"imgs_per_sec": 0.0, "epoch_seconds": dt, "n_batches": 0}
+        stacked = jax.device_get(device_metrics)
+        out = {
+            k: float(np.mean([m[k] for m in stacked])) for k in stacked[0]
+        }
+        out["imgs_per_sec"] = n_images / max(dt, 1e-9)
+        out["epoch_seconds"] = dt
+        out["n_batches"] = n_batches
+        return out
+
+    # ------------------------------------------------------------------
+    def evaluate(self, limit_batches: int = 0) -> float:
+        """Top-1 on the test set with the current (float or fake-quant) model
+        (reference evaluate_fp32, :49-61)."""
+        step_fn = self.eval_step_qat if self.qat_enabled else self.eval_step_float
+        correct = 0
+        total = 0
+        for i, batch in enumerate(self.eval_loader):
+            if limit_batches and i >= limit_batches:
+                break
+            n = len(batch["label"])
+            batch = _pad_batch(batch, int(self.hp.get("eval_batch_size", 512)))
+            batch = shard_batch(
+                {"image": batch["image"], "label": batch["label"]}, self.mesh
+            )
+            c = step_fn(self.state.params, self.state.quant_stats, batch)
+            correct += int(c)
+            total += n
+        return correct / max(total, 1)
+
+    # ------------------------------------------------------------------
+    def convert_int8(self) -> Dict[str, Any]:
+        """Observer folding → int8 export pytree (reference convert, :376-379)."""
+        if not self.qat_enabled:
+            raise RuntimeError("convert requires QAT to have run")
+        return convert_vit(
+            jax.device_get(self.state.params),
+            jax.device_get(self.state.quant_stats),
+            self.student_qat_cfg,
+        )
+
+    def evaluate_int8(self, qparams=None, limit_batches: int = 0) -> float:
+        """True-int8 eval (the working replacement for
+        evaluate_quantized_cpu, reference :64-77)."""
+        qparams = qparams if qparams is not None else self.convert_int8()
+        fwd = make_int8_forward(self.student_qat_cfg)
+        from qat_vit_tpu.data.pipeline import preprocess
+
+        correct = 0
+        total = 0
+        for i, batch in enumerate(self.eval_loader):
+            if limit_batches and i >= limit_batches:
+                break
+            n = len(batch["label"])
+            batch = _pad_batch(batch, int(self.hp.get("eval_batch_size", 512)))
+            x = preprocess(jnp.asarray(batch["image"]), size=self.image_size)
+            logits = fwd(qparams, x)
+            pred = np.asarray(jnp.argmax(logits, axis=-1))
+            correct += int((pred[:n] == batch["label"][:n]).sum())
+            total += n
+        return correct / max(total, 1)
+
+
+def _pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
+    """Pad the trailing eval batch to the compiled batch size (static shapes)."""
+    n = len(batch["label"])
+    if n == size:
+        return batch
+    pad = size - n
+    return {
+        "image": np.concatenate([batch["image"], np.zeros((pad,) + batch["image"].shape[1:], batch["image"].dtype)]),
+        "label": np.concatenate([batch["label"], np.full((pad,), -1, batch["label"].dtype)]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Final-training entry (reference main, qat_trainer.py:112-423)
+# ---------------------------------------------------------------------------
+
+def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
+    dist = get_dist_info()
+    output_dir = hp["output_dir"]
+    if dist.is_main_process:
+        os.makedirs(output_dir, exist_ok=True)
+        save_effective_hparams(hp, output_dir)
+        tracker = make_tracker(hp["mlflow_uri"], hp["experiment"])
+        run = tracker.start_run("final_train")
+        run.log_params({k: hp[k] for k in DEFAULT_HPARAMS})
+    else:
+        run = NullRun()
+    barrier("dataset")  # ≙ reference download barrier (:221-222)
+
+    trainer = KDQATTrainer(hp, run=run)
+    best = BestCheckpointer(output_dir, "best_qat")
+    epochs = int(hp["epochs"])
+    qat_start = int(hp["qat_start_epoch"])
+    limit_train = int(hp.get("limit_train_batches", 0))
+    limit_eval = int(hp.get("limit_eval_batches", 0))
+    results = []
+    final_quant_acc = 0.0
+
+    for epoch in range(epochs):
+        if epoch >= qat_start:
+            trainer.enable_qat()
+        tm = trainer.train_epoch(epoch, limit_batches=limit_train)
+        barrier("epoch")  # ≙ :366-367
+        qat_acc = trainer.evaluate(limit_batches=limit_eval) if dist.is_main_process else 0.0
+        quant_acc = qat_acc  # reference aliases until the last epoch (:373)
+        last = epoch == epochs - 1
+        if last and trainer.qat_enabled and dist.is_main_process:
+            qparams = trainer.convert_int8()
+            quant_acc = trainer.evaluate_int8(qparams, limit_batches=limit_eval)
+            final_quant_acc = quant_acc
+            save_checkpoint(
+                os.path.join(output_dir, "best_converted.msgpack"),
+                qparams,
+                {"epoch": epoch, "quant_acc": quant_acc,
+                 "format": "int8-weights+qparams"},
+            )
+        if dist.is_main_process:
+            qs = trainer.state.quant_stats
+            improved, _ = best.maybe_save(
+                quant_acc,
+                {"params": jax.device_get(trainer.state.params),
+                 "quant_stats": jax.device_get(qs) if qs is not None else {}},
+                {"epoch": epoch, "qat_acc": qat_acc},
+            )
+            run.log_metrics(
+                {
+                    "train_loss": tm.get("train_loss", 0.0),
+                    "train_loss_ce": tm.get("train_loss_ce", 0.0),
+                    "train_loss_kd": tm.get("train_loss_kd", 0.0),
+                    "qat_acc": qat_acc,
+                    "quant_acc": quant_acc,
+                    "imgs_per_sec": tm["imgs_per_sec"],
+                    "qat_enabled": float(trainer.qat_enabled),
+                },
+                step=epoch,
+            )
+            logger.info(
+                "epoch %d/%d loss %.4f qat_acc %.4f quant_acc %.4f (%.0f img/s)%s",
+                epoch + 1, epochs, tm.get("train_loss", 0.0), qat_acc, quant_acc,
+                tm["imgs_per_sec"], " [QAT]" if trainer.qat_enabled else "",
+            )
+        results.append(
+            EpochResult(epoch, tm.get("train_loss", 0.0), qat_acc, quant_acc,
+                        trainer.qat_enabled, tm["imgs_per_sec"])
+        )
+        barrier("epoch_end")  # ≙ :402-403
+
+    if dist.is_main_process:
+        run.log_metric("final_quant_acc", final_quant_acc)
+        for fname in ("effective_hparams.yaml", "best_qat.msgpack",
+                      "best_converted.msgpack"):
+            p = os.path.join(output_dir, fname)
+            if os.path.isfile(p):
+                run.log_artifact(p)
+        run.end("FINISHED")
+    return {
+        "results": results,
+        "best_acc": best.best_metric,
+        "final_quant_acc": final_quant_acc,
+        "output_dir": output_dir,
+    }
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    parser = argparse.ArgumentParser(description="TPU-native KD+QAT final training")
+    add_hparam_flags(parser)
+    args = parser.parse_args(argv)
+    hp = resolve_hparams(args)
+    train_main(hp)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -16,3 +16,14 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 # Keep test compiles fast and deterministic.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The TPU-tunnel sitecustomize (when present) force-selects its backend via
+# jax.config.update("jax_platforms", ...) at interpreter start, overriding the
+# env var above. Re-force CPU before any backend initializes so tests get the
+# fast local CPU compiler and the 8-device virtual mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}"
+)

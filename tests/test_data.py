@@ -1,0 +1,160 @@
+"""Data pipeline tests: sampler parity, loader sharding, preprocessing."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qat_vit_tpu.data import (
+    ArrayLoader,
+    epoch_indices,
+    load_cifar10,
+    preprocess,
+    synthetic_cifar10,
+)
+
+
+class TestEpochIndices:
+    def test_disjoint_cover(self):
+        """Per-rank shards are disjoint and cover the (padded) dataset —
+        torch DistributedSampler semantics."""
+        n, world = 103, 4
+        shards = [
+            epoch_indices(n, epoch=3, seed=7, rank=r, world_size=world)
+            for r in range(world)
+        ]
+        lens = {len(s) for s in shards}
+        assert lens == {26}  # ceil(103/4)
+        all_idx = np.concatenate(shards)
+        assert len(all_idx) == 104
+        # padding duplicates exactly one index
+        uniq, counts = np.unique(all_idx, return_counts=True)
+        assert len(uniq) == 103 and counts.max() == 2
+
+    def test_epoch_reshuffle_deterministic(self):
+        a = epoch_indices(100, epoch=0, seed=0)
+        b = epoch_indices(100, epoch=1, seed=0)
+        a2 = epoch_indices(100, epoch=0, seed=0)
+        assert not np.array_equal(a, b)
+        np.testing.assert_array_equal(a, a2)
+
+    def test_matches_torch_distributed_sampler_contract(self):
+        """Same rank-strided slicing layout as torch's DistributedSampler."""
+        torch = pytest.importorskip("torch")
+        from torch.utils.data.distributed import DistributedSampler
+
+        class DS(torch.utils.data.Dataset):
+            def __len__(self):
+                return 50
+
+            def __getitem__(self, i):
+                return i
+
+        for rank in range(3):
+            ts = DistributedSampler(DS(), num_replicas=3, rank=rank, shuffle=False)
+            theirs = list(iter(ts))
+            ours = epoch_indices(50, epoch=0, shuffle=False, rank=rank, world_size=3)
+            np.testing.assert_array_equal(ours, theirs)
+
+
+class TestArrayLoader:
+    def test_batches_and_reshuffle(self):
+        data = synthetic_cifar10(n_train=256, n_test=64, seed=0)
+        loader = ArrayLoader(
+            data["train_images"], data["train_labels"], batch_size=32, seed=0
+        )
+        loader.set_epoch(0)
+        b0 = [b["label"].copy() for b in loader]
+        assert len(b0) == 8 and b0[0].shape == (32,)
+        loader.set_epoch(1)
+        b1 = [b["label"].copy() for b in loader]
+        assert not all(np.array_equal(x, y) for x, y in zip(b0, b1))
+
+    def test_rank_sharding(self):
+        data = synthetic_cifar10(n_train=128, n_test=8, seed=0)
+        seen = []
+        for r in range(2):
+            loader = ArrayLoader(
+                data["train_images"], data["train_labels"], batch_size=16,
+                seed=0, rank=r, world_size=2, shuffle=False, prefetch=0,
+            )
+            seen.append(np.concatenate([b["label"] for b in loader]))
+        assert len(seen[0]) == len(seen[1]) == 64
+
+
+class TestPreprocess:
+    def test_shapes_and_normalization(self):
+        imgs = np.random.default_rng(0).integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        out = preprocess(jnp.asarray(imgs), size=224)
+        assert out.shape == (4, 224, 224, 3)
+        assert out.dtype == jnp.float32
+
+    def test_matches_reference_normalization(self):
+        """A constant image maps exactly to (v/255 - mean)/std."""
+        imgs = np.full((1, 32, 32, 3), 128, np.uint8)
+        out = np.asarray(preprocess(jnp.asarray(imgs), size=224))
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
+        expected = (128 / 255.0 - mean) / std
+        np.testing.assert_allclose(out[0, 100, 100], expected, rtol=1e-5)
+
+    def test_bicubic_upsample_close_to_pil(self):
+        """Sanity vs PIL bicubic (the reference's torchvision Resize backend):
+        same kernel family, so agreement should be within a few LSBs."""
+        from PIL import Image
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        pil = Image.fromarray(img).resize((224, 224), Image.BICUBIC)
+        pil_f = np.asarray(pil).astype(np.float32) / 255.0
+        ours = np.asarray(preprocess(jnp.asarray(img[None]), size=224))[0]
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        ours_unnorm = ours * std + mean
+        # interior pixels (borders differ by edge-handling convention)
+        diff = np.abs(ours_unnorm[16:-16, 16:-16] - pil_f[16:-16, 16:-16])
+        assert float(diff.mean()) < 0.01, float(diff.mean())
+
+
+class TestCifarSources:
+    def test_synthetic_learnable_structure(self):
+        data = synthetic_cifar10(n_train=1000, n_test=200, seed=0)
+        assert data["train_images"].shape == (1000, 32, 32, 3)
+        assert data["train_images"].dtype == np.uint8
+        assert set(np.unique(data["train_labels"])) <= set(range(10))
+        # class templates must be distinguishable: nearest-template classifier
+        # should beat chance by a wide margin
+        imgs = data["test_images"].astype(np.float32)
+        labels = data["test_labels"]
+        protos = np.stack([
+            data["train_images"][data["train_labels"] == c].astype(np.float32).mean(0)
+            for c in range(10)
+        ])
+        d = ((imgs[:, None] - protos[None]) ** 2).sum((2, 3, 4))
+        acc = (d.argmin(1) == labels).mean()
+        assert acc > 0.5, acc
+
+    def test_load_cifar10_fallback(self, tmp_path):
+        data, source = load_cifar10(str(tmp_path), allow_synthetic=True)
+        assert source == "synthetic"
+        with pytest.raises(FileNotFoundError):
+            load_cifar10(str(tmp_path), allow_synthetic=False)
+
+    def test_load_cifar10_pickle_roundtrip(self, tmp_path):
+        """Write the real on-disk pickle format and read it back."""
+        import pickle
+
+        d = tmp_path / "cifar-10-batches-py"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(1, 6):
+            imgs = rng.integers(0, 256, (20, 3 * 32 * 32), dtype=np.uint8)
+            with open(d / f"data_batch_{i}", "wb") as f:
+                pickle.dump({"data": imgs, "labels": list(rng.integers(0, 10, 20))}, f)
+        imgs = rng.integers(0, 256, (10, 3 * 32 * 32), dtype=np.uint8)
+        with open(d / "test_batch", "wb") as f:
+            pickle.dump({"data": imgs, "labels": list(rng.integers(0, 10, 10))}, f)
+        data, source = load_cifar10(str(tmp_path))
+        assert source == "pickle"
+        assert data["train_images"].shape == (100, 32, 32, 3)
+        assert data["test_images"].shape == (10, 32, 32, 3)

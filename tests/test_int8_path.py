@@ -1,0 +1,199 @@
+"""Int8 GEMM + convert + serving-path tests.
+
+Validates the QNNPACK-replacement stack: quantize→int8 GEMM→dequant math
+against a float reference, the convert() observer folding, Pallas-kernel vs
+XLA equivalence (interpret mode on CPU), and that the end-to-end int8 ViT
+tracks the fake-quant model it was converted from.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qat_vit_tpu.models.vit import ViTConfig, VisionTransformer
+from qat_vit_tpu.ops.pallas_gemm import fused_quantize_matmul
+from qat_vit_tpu.ops.quantized_matmul import (
+    int8_matmul_xla,
+    quantize_act_shifted,
+    quantized_dense,
+)
+from qat_vit_tpu.quant import default_qat_qconfig, qparams_affine, qparams_symmetric
+from qat_vit_tpu.quant.convert import dense_int8, gelu_transform_qparams
+from qat_vit_tpu.quant.fake_quant import quantize_to_int
+from qat_vit_tpu.serve.int8_vit import convert_vit, int8_apply
+
+
+def _quantize_weight(w):
+    s, _ = qparams_symmetric(jnp.min(w), jnp.max(w))
+    wq = quantize_to_int(w, s, 0.0, -128, 127)
+    return wq, s
+
+
+class TestInt8Matmul:
+    def test_dequant_math_exact(self):
+        """int8 GEMM + zp correction must equal the dequantized-operand
+        float GEMM exactly (integers are exact in f32 here)."""
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(64, 128)).astype(np.float32) * 2
+        w = rng.normal(size=(128, 256)).astype(np.float32) * 0.05
+        b = rng.normal(size=(256,)).astype(np.float32)
+
+        xs, xzp = qparams_affine(jnp.min(x), jnp.max(x))
+        wq, ws = _quantize_weight(jnp.asarray(w))
+        xq = quantize_act_shifted(jnp.asarray(x), xs, xzp)
+        out = int8_matmul_xla(
+            xq, wq, x_scale=xs, x_zero_point=xzp, w_scale=ws,
+            w_colsum=jnp.sum(wq.astype(jnp.int32), axis=0), bias=jnp.asarray(b),
+        )
+        # exact integer reference: the int accumulation has no rounding
+        acc = (np.asarray(xq, np.int64) + 128 - int(xzp)) @ np.asarray(wq, np.int64)
+        expected = acc.astype(np.float32) * np.float32(float(xs) * float(ws)) + b
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+    def test_quantization_error_bounded(self):
+        """End-to-end quantized dense ≈ float dense within quantization noise."""
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(32, 384)).astype(np.float32)
+        w = rng.normal(size=(384, 384)).astype(np.float32) * 0.04
+        b = np.zeros(384, np.float32)
+        xs, xzp = qparams_affine(jnp.float32(x.min()), jnp.float32(x.max()))
+        wq, ws = _quantize_weight(jnp.asarray(w))
+        xq = quantize_act_shifted(jnp.asarray(x), xs, xzp)
+        out = int8_matmul_xla(
+            xq, wq, x_scale=xs, x_zero_point=xzp, w_scale=ws,
+            w_colsum=jnp.sum(wq.astype(jnp.int32), axis=0), bias=jnp.asarray(b),
+        )
+        ref = x @ w
+        err = np.abs(np.asarray(out) - ref)
+        rel = err.mean() / np.abs(ref).mean()
+        assert rel < 0.02, rel
+
+    def test_pallas_kernel_matches_xla(self):
+        """Fused Pallas kernel (interpret mode on CPU) == XLA path bit-for-bit
+        on the int8 grid."""
+        rng = np.random.default_rng(2)
+        M, K, N = 160, 128, 256  # M deliberately not a tile multiple
+        x = rng.normal(size=(M, K)).astype(np.float32)
+        w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+        b = rng.normal(size=(N,)).astype(np.float32)
+        xs, xzp = qparams_affine(jnp.float32(x.min()), jnp.float32(x.max()))
+        wq, ws = _quantize_weight(jnp.asarray(w))
+        colsum = jnp.sum(wq.astype(jnp.int32), axis=0)
+        xq = quantize_act_shifted(jnp.asarray(x), xs, xzp)
+        ref = int8_matmul_xla(
+            xq, wq, x_scale=xs, x_zero_point=xzp, w_scale=ws,
+            w_colsum=colsum, bias=jnp.asarray(b),
+        )
+        out = fused_quantize_matmul(
+            jnp.asarray(x), wq, x_scale=xs, x_zero_point=xzp, w_scale=ws,
+            w_colsum=colsum, bias=jnp.asarray(b), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-5)
+
+    def test_batched_input(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 17, 64)).astype(np.float32)
+        w = rng.normal(size=(64, 128)).astype(np.float32) * 0.1
+        wq, ws = _quantize_weight(jnp.asarray(w))
+        layer = {
+            "w_int8": wq, "w_scale": ws,
+            "w_colsum": jnp.sum(wq.astype(jnp.int32), axis=0),
+            "bias": jnp.zeros(128),
+        }
+        xs, xzp = qparams_affine(jnp.float32(x.min()), jnp.float32(x.max()))
+        out = quantized_dense(
+            jnp.asarray(x), layer, {"scale": xs, "zero_point": xzp}, use_pallas=False
+        )
+        assert out.shape == (2, 17, 128)
+
+
+def _trained_micro_qat(steps=8, seed=0):
+    """Init a micro QAT ViT and run a few observe-forward passes so observers
+    hold realistic statistics."""
+    cfg = ViTConfig(
+        num_classes=10, image_size=32, patch_size=8, embed_dim=128, depth=2,
+        num_heads=2, quant=default_qat_qconfig(), qat_wrapper=True,
+    )
+    model = VisionTransformer(cfg)
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(seed), x0, observe=False)
+    params, qs = variables["params"], variables["quant_stats"]
+
+    @jax.jit
+    def fwd_observe(params, qs, x):
+        logits, mut = model.apply(
+            {"params": params, "quant_stats": qs}, x, observe=True,
+            mutable=["quant_stats"],
+        )
+        return logits, mut["quant_stats"]
+
+    for s in range(steps):
+        x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+        logits, qs = fwd_observe(params, qs, x)
+    return model, cfg, params, qs
+
+
+class TestConvertAndServe:
+    def test_convert_structure(self):
+        import flax.linen as nn
+
+        model, cfg, params, qs = _trained_micro_qat()
+        qp = convert_vit(nn.meta.unbox(params), qs, cfg)
+        assert qp["patch_embed"]["w_int8"].dtype == jnp.int8
+        assert len(qp["blocks"]) == 2
+        assert "input_q" in qp and "out_q" in qp["norm"]
+        # weight scale matches observer symmetric formula
+        wmin = qs["patch_embed"]["proj"]["weight_fq"]["min_val"]
+        wmax = qs["patch_embed"]["proj"]["weight_fq"]["max_val"]
+        s, _ = qparams_symmetric(wmin, wmax)
+        np.testing.assert_allclose(
+            float(qp["patch_embed"]["w_scale"]), float(s), rtol=1e-6
+        )
+
+    def test_int8_tracks_fake_quant_model(self):
+        """The int8 serving forward must closely track the fake-quant QAT
+        model it was converted from (same data distribution)."""
+        import flax.linen as nn
+
+        model, cfg, params, qs = _trained_micro_qat()
+        qp = convert_vit(nn.meta.unbox(params), qs, cfg)
+        rng = np.random.default_rng(42)
+        x = jnp.asarray(rng.normal(size=(16, 32, 32, 3)).astype(np.float32))
+        fq_logits = model.apply({"params": params, "quant_stats": qs}, x, observe=False)
+        i8_logits = int8_apply(qp, x, cfg, use_pallas=False)
+        fq = np.asarray(fq_logits)
+        i8 = np.asarray(i8_logits)
+        # logits correlated and argmax mostly agreeing
+        corr = np.corrcoef(fq.ravel(), i8.ravel())[0, 1]
+        assert corr > 0.98, corr
+        agree = (fq.argmax(-1) == i8.argmax(-1)).mean()
+        assert agree >= 0.8, agree
+
+    def test_gelu_transform_bounds(self):
+        q = gelu_transform_qparams(jnp.float32(-3.0), jnp.float32(5.0),
+                                   default_qat_qconfig())
+        # representable range must cover [-0.17, gelu(5)≈5.0] up to one
+        # quantization-grid step (zero-point rounding shifts the grid)
+        s = float(q["scale"])
+        lo = -float(q["zero_point"]) * s
+        hi = (255 - float(q["zero_point"])) * s
+        assert lo <= -0.17 + s and hi >= 5.0 - s, (lo, hi, s)
+
+    def test_dense_int8_colsum(self):
+        rng = np.random.default_rng(5)
+        w = rng.normal(size=(16, 32)).astype(np.float32)
+        stats = {
+            "weight_fq": {"min_val": jnp.float32(w.min()), "max_val": jnp.float32(w.max())},
+            "act_fq": {"min_val": jnp.float32(-1), "max_val": jnp.float32(1)},
+        }
+        out = dense_int8({"kernel": jnp.asarray(w), "bias": jnp.zeros(32)}, stats,
+                         default_qat_qconfig())
+        np.testing.assert_array_equal(
+            np.asarray(out["w_colsum"]),
+            np.asarray(out["w_int8"]).astype(np.int64).sum(0),
+        )

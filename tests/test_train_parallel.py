@@ -1,0 +1,218 @@
+"""Training-step and parallelism tests on the 8-device virtual CPU mesh.
+
+Covers the reference's distributed semantics (gradient all-reduce, sampler
+sharding, replica-consistent state — reference qat_trainer.py:281-316) as
+XLA-SPMD properties: identical results on 1-device vs 8-device meshes,
+observer state reduced over the global batch, and the QAT phase switch.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qat_vit_tpu.models.vit import ViTConfig, VisionTransformer
+from qat_vit_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+from qat_vit_tpu.quant import default_qat_qconfig
+from qat_vit_tpu.train.steps import (
+    TrainState,
+    init_quant_stats,
+    loss_hparams,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+HP = {
+    "kd_alpha": 0.5,
+    "kd_temperature": 4.0,
+    "label_smoothing": 0.1,
+}
+
+CFG = dict(num_classes=10, image_size=32, patch_size=8, embed_dim=128,
+           depth=2, num_heads=2)
+
+
+def _setup(qat: bool, mesh, seed=0):
+    teacher_cfg = ViTConfig(**CFG, quant=None, dtype=jnp.float32)
+    teacher = VisionTransformer(teacher_cfg)
+    if qat:
+        student_cfg = ViTConfig(**CFG, quant=default_qat_qconfig(), qat_wrapper=True)
+    else:
+        student_cfg = ViTConfig(**CFG, quant=None)
+    student = VisionTransformer(student_cfg)
+
+    import flax.linen as nn
+
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    t_params = nn.meta.unbox(teacher.init(jax.random.key(seed), x0, observe=False))["params"]
+    s_params = nn.meta.unbox(student.init(jax.random.key(seed + 1), x0, observe=False))["params"]
+    tx = make_optimizer(1e-3, 1e-4)
+    repl = replicated_sharding(mesh)
+    state = TrainState(
+        params=jax.device_put(s_params, repl),
+        opt_state=jax.device_put(tx.init(s_params), repl),
+        quant_stats=(
+            jax.device_put(init_quant_stats(student, student_cfg), repl) if qat else None
+        ),
+        step=jnp.zeros((), jnp.int32),
+    )
+    teacher_apply = lambda p, x: teacher.apply({"params": p}, x, observe=False)  # noqa: E731
+    step_inner = make_train_step(
+        teacher_apply, student.apply, tx, qat=qat, image_size=32, donate=False
+    )
+    lhp = loss_hparams(HP)
+    step = lambda state, tp, batch: step_inner(state, tp, batch, lhp)  # noqa: E731
+    t_params = jax.device_put(t_params, repl)
+    return state, step, t_params, student, student_cfg
+
+
+def _batch(seed, n=16):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8),
+        "label": rng.integers(0, 10, n).astype(np.int32),
+    }
+
+
+class TestDataParallel:
+    def test_dp8_matches_single_device(self):
+        """The sharded step must compute the same update as one device —
+        the defining property of synchronous DP (≙ DDP all-reduce)."""
+        mesh8 = make_mesh()  # all 8 virtual devices on data axis
+        mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        batch = _batch(0, n=16)
+
+        results = []
+        for mesh in (mesh1, mesh8):
+            state, step, t_params, *_ = _setup(qat=False, mesh=mesh)
+            s, metrics = step(state, t_params, shard_batch(dict(batch), mesh))
+            results.append((jax.device_get(s.params), float(metrics["train_loss"])))
+        p1, l1 = results[0]
+        p8, l8 = results[1]
+        np.testing.assert_allclose(l1, l8, rtol=1e-5)
+        flat1 = jax.tree.leaves(p1)
+        flat8 = jax.tree.leaves(p8)
+        for a, b in zip(flat1, flat8):
+            # atol: AdamW's g/sqrt(v) normalization amplifies f32 all-reduce
+            # ordering noise for near-zero grads up to ~lr per element; a real
+            # DP bug would shift most elements by ~lr AND change the loss
+            # (checked tightly above).
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1.5e-4)
+
+    def test_qat_observer_global_batch(self):
+        """Observer min/max must reflect the GLOBAL batch under DP (our
+        documented improvement over per-replica observer drift)."""
+        mesh8 = make_mesh()
+        state, step, t_params, *_ = _setup(qat=True, mesh=mesh8)
+        batch = _batch(1, n=16)
+        s, _ = step(state, t_params, shard_batch(dict(batch), mesh8))
+        qs = jax.device_get(s.quant_stats)
+        # input observer saw the normalized global batch: min/max finite
+        mn = qs["input_fq"]["min_val"]
+        mx = qs["input_fq"]["max_val"]
+        assert np.isfinite(mn) and np.isfinite(mx) and mn < mx
+        # compare against single-device run: identical stats
+        mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        state1, step1, t_params1, *_ = _setup(qat=True, mesh=mesh1)
+        s1, _ = step1(state1, t_params1, shard_batch(dict(batch), mesh1))
+        qs1 = jax.device_get(s1.quant_stats)
+        np.testing.assert_allclose(mn, qs1["input_fq"]["min_val"], rtol=1e-6)
+        np.testing.assert_allclose(mx, qs1["input_fq"]["max_val"], rtol=1e-6)
+
+    def test_tensor_parallel_mesh_runs(self):
+        """data=4 x model=2 mesh: TP sharding must compile and run; loss must
+        match the replicated result."""
+        mesh = make_mesh(data=4, model=2)
+        state, step, t_params, *_ = _setup(qat=False, mesh=mesh)
+        batch = _batch(2, n=16)
+        s, metrics = step(state, t_params, shard_batch(dict(batch), mesh))
+        mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        state1, step1, t_params1, *_ = _setup(qat=False, mesh=mesh1)
+        _, m1 = step1(state1, t_params1, shard_batch(dict(batch), mesh1))
+        np.testing.assert_allclose(
+            float(metrics["train_loss"]), float(m1["train_loss"]), rtol=1e-5
+        )
+
+
+class TestPhaseMachine:
+    def test_loss_decreases_float_phase(self):
+        mesh = make_mesh()
+        state, step, t_params, *_ = _setup(qat=False, mesh=mesh)
+        losses = []
+        for i in range(6):
+            batch = shard_batch(_batch(10), mesh)  # same batch: must overfit
+            state, metrics = step(state, t_params, batch)
+            losses.append(float(metrics["train_loss"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_qat_step_updates_observers_and_params(self):
+        mesh = make_mesh()
+        state, step, t_params, student, cfg = _setup(qat=True, mesh=mesh)
+        p0 = jax.device_get(state.params)
+        batch = shard_batch(_batch(11), mesh)
+        state, metrics = step(state, t_params, batch)
+        p1 = jax.device_get(state.params)
+        changed = any(
+            not np.allclose(a, b) for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1))
+        )
+        assert changed
+        qs = jax.device_get(state.quant_stats)
+        finite = [np.isfinite(x).all() for x in jax.tree.leaves(qs)]
+        assert all(finite)
+
+    def test_eval_step_frozen_observers(self):
+        mesh = make_mesh()
+        state, step, t_params, student, cfg = _setup(qat=True, mesh=mesh)
+        batch = shard_batch(_batch(12), mesh)
+        state, _ = step(state, t_params, batch)
+        qs_before = jax.device_get(state.quant_stats)
+        eval_step = make_eval_step(student.apply, qat=True, image_size=32)
+        correct = eval_step(state.params, state.quant_stats, batch)
+        assert 0 <= int(correct) <= 16
+        qs_after = jax.device_get(state.quant_stats)
+        for a, b in zip(jax.tree.leaves(qs_before), jax.tree.leaves(qs_after)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_init_quant_stats_markers(self):
+        cfg = ViTConfig(**CFG, quant=default_qat_qconfig(), qat_wrapper=True)
+        student = VisionTransformer(cfg)
+        qs = init_quant_stats(student, cfg)
+        import jax.tree_util as jtu
+
+        for path, leaf in jtu.tree_leaves_with_path(qs):
+            name = jtu.keystr(path)
+            if "max_val" in name:
+                assert np.isneginf(leaf)
+            else:
+                assert np.isposinf(leaf)
+
+
+class TestOptimizerParity:
+    def test_adamw_matches_torch(self):
+        """One optimizer step on identical grads must match torch AdamW +
+        clip_grad_norm_(1.0) (the reference's update rule)."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(32, 16)).astype(np.float32)
+        g = rng.normal(size=(32, 16)).astype(np.float32) * 3  # norm > 1: clips
+
+        tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+        opt = torch.optim.AdamW([tw], lr=1e-3, weight_decay=1e-2)
+        tw.grad = torch.from_numpy(g.copy())
+        torch.nn.utils.clip_grad_norm_([tw], 1.0)
+        opt.step()
+
+        tx = make_optimizer(1e-3, 1e-2, 1.0)
+        params = {"w": jnp.asarray(w)}
+        opt_state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        import optax
+
+        new = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(
+            np.asarray(new["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7
+        )
