@@ -1,0 +1,199 @@
+"""Benchmark: QAT training throughput + int8 inference throughput, one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: fake-quant QAT **training** images/sec on one chip — the
+only throughput the reference actually measured (413 img/s under QAT on its
+GPU study, derived from mlflow.db metric timestamps; see BASELINE.md). The
+int8 serving throughput (the reference's intended-but-broken deployment path)
+rides along in the extras.
+
+Measurement methodology (important on a tunneled TPU where per-dispatch
+timing is unreliable and ``block_until_ready`` does not round-trip): the step
+loop runs INSIDE one compiled program (``lax.scan``/``fori_loop``), the
+program returns a scalar, and the wall time of ``float(result)`` — which
+forces a real device round-trip — is measured. Dispatch overhead (~25 ms) is
+measured separately with a trivial program and subtracted.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Reference baseline: search-epoch throughput under QAT fake-quant (BASELINE.md).
+BASELINE_QAT_TRAIN_IMGS_PER_SEC = 413.0
+
+TRAIN_BATCH = 256
+TRAIN_STEPS = 20
+INFER_BATCH = 256
+INFER_STEPS = 50
+REPEATS = 3
+
+
+def _timeit(fn) -> float:
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _dispatch_overhead() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    x = jnp.zeros(())
+    float(trivial(x))  # compile
+    return _timeit(lambda: float(trivial(x)))
+
+
+def bench_qat_train() -> float:
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from qat_vit_tpu.data.pipeline import preprocess_fn
+    from qat_vit_tpu.models import create_student, create_teacher
+    from qat_vit_tpu.train.losses import kd_loss
+    from qat_vit_tpu.train.steps import TrainState, init_quant_stats, make_optimizer
+    import optax
+
+    teacher = create_teacher("vit", dtype=jnp.bfloat16)
+    student = create_student("vit")  # QAT-wrapped ViT-S/16
+
+    t_params = nn.meta.unbox(
+        teacher.module.init(jax.random.key(0), teacher.example_input(1),
+                            observe=False))["params"]
+    t_params = jax.tree.map(lambda v: jnp.asarray(v, jnp.bfloat16), t_params)
+    s_vars = nn.meta.unbox(
+        student.module.init(jax.random.key(1), student.example_input(1),
+                            observe=False))
+    tx = make_optimizer(1.5e-4, 1e-3)
+    state = TrainState(
+        params=s_vars["params"],
+        opt_state=tx.init(s_vars["params"]),
+        quant_stats=init_quant_stats(student.module, student.cfg),
+        step=jnp.zeros((), jnp.int32),
+    )
+    prep = preprocess_fn(224)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 256, (TRAIN_BATCH, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 10, TRAIN_BATCH).astype(np.int32))
+
+    def one_step(state):
+        x = prep(images)
+        t_logits = jax.lax.stop_gradient(
+            teacher.module.apply({"params": t_params}, x, observe=False))
+
+        def loss_fn(params):
+            s_logits, mut = student.module.apply(
+                {"params": params, "quant_stats": state.quant_stats}, x,
+                observe=True, mutable=["quant_stats"])
+            loss, _ = kd_loss(s_logits, t_logits, labels, alpha=0.5,
+                              temperature=4.0, label_smoothing=0.1)
+            return loss, mut["quant_stats"]
+
+        grads, new_qs = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, new_qs, state.step + 1)
+
+    @jax.jit
+    def run_n(state):
+        final = jax.lax.fori_loop(0, TRAIN_STEPS, lambda i, st: one_step(st), state)
+        return final, jax.tree.leaves(final.params)[0].sum()
+
+    new_state, s = run_n(state)
+    float(s)  # compile + first run
+    state = new_state
+
+    def go():
+        nonlocal state
+        st, s = run_n(state)
+        float(s)
+        state = st
+
+    dt = _timeit(go) - _dispatch_overhead()
+    return TRAIN_BATCH * TRAIN_STEPS / dt
+
+
+def bench_int8_infer() -> float:
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from qat_vit_tpu.data.pipeline import preprocess
+    from qat_vit_tpu.models import create_student
+    from qat_vit_tpu.serve.int8_vit import convert_vit, int8_apply
+
+    student = create_student("vit")
+    variables = nn.meta.unbox(
+        student.module.init(jax.random.key(0), student.example_input(1),
+                            observe=False))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(8, 224, 224, 3)).astype(np.float32))
+    _, mut = student.module.apply(
+        {"params": variables["params"], "quant_stats": variables["quant_stats"]},
+        x0, observe=True, mutable=["quant_stats"],
+    )
+    qp = convert_vit(variables["params"], mut["quant_stats"], student.cfg)
+    imgs = rng.integers(0, 256, (INFER_BATCH, 32, 32, 3), dtype=np.uint8)
+    x = preprocess(jnp.asarray(imgs), size=224)
+    cfg = student.cfg
+
+    @jax.jit
+    def run_n(qp, x):
+        def body(i, acc):
+            # i-dependent perturbation so the loop body is not hoistable
+            logits = int8_apply(qp, x + jnp.float32(i) * 1e-9, cfg,
+                                attn_dtype=jnp.bfloat16)
+            return acc + logits.sum()
+        return jax.lax.fori_loop(0, INFER_STEPS, body, jnp.zeros((), jnp.float32))
+
+    float(run_n(qp, x))  # compile
+    dt = _timeit(lambda: float(run_n(qp, x))) - _dispatch_overhead()
+    return INFER_BATCH * INFER_STEPS / dt
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    train_ips = bench_qat_train()
+    try:
+        infer_ips = bench_int8_infer()
+    except Exception as e:  # int8 extras must not sink the headline number
+        infer_ips = None
+        import sys
+
+        print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    result = {
+        "metric": "qat_train_imgs_per_sec_per_chip",
+        "value": round(train_ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(train_ips / BASELINE_QAT_TRAIN_IMGS_PER_SEC, 2),
+        "extras": {
+            "int8_infer_imgs_per_sec": round(infer_ips, 1) if infer_ips else None,
+            "train_batch": TRAIN_BATCH,
+            "infer_batch": INFER_BATCH,
+            "train_steps_timed": TRAIN_STEPS,
+            "backend": backend,
+            "baseline": "reference QAT-phase search-epoch throughput, 413 img/s "
+                        "(mlflow.db-derived; see BASELINE.md)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,10 +49,11 @@ def _from_pickle_dir(d: str) -> Dict[str, np.ndarray]:
 
 
 def _from_bin_dir(d: str) -> Dict[str, np.ndarray]:
+    from qat_vit_tpu.data.native_loader import decode_cifar_bin
+
     def load_bin(path):
-        raw = np.fromfile(path, np.uint8).reshape(-1, 3073)
-        labels = raw[:, 0].astype(np.int32)
-        imgs = raw[:, 1:].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        raw = np.fromfile(path, np.uint8)
+        imgs, labels = decode_cifar_bin(raw)  # C++ decoder when available
         return imgs, labels
 
     train_x, train_y = [], []

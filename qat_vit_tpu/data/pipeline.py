@@ -107,10 +107,13 @@ class ArrayLoader:
             world_size=self.world_size,
             drop_last=self.drop_last,
         )
+        from qat_vit_tpu.data.native_loader import gather_batch
+
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         for b in range(nb):
             sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-            yield {"image": self.images[sel], "label": self.labels[sel]}
+            img, lab = gather_batch(self.images, self.labels, sel)
+            yield {"image": img, "label": lab}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:

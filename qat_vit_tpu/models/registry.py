@@ -184,17 +184,25 @@ def _create_vit_micro(**kw) -> ModelBundle:
     description="OWLv2 detection teacher (requires transformers weights; "
     "gated — unavailable without network access)",
 )
-def _create_owlv2_teacher(**kw):
-    """Parity entry for the reference's optional OWLv2 family (ref
-    model_registry.py:269-327). The reference gates these on transformers +
-    desktop; here they are registered but raise until a local HF checkpoint
-    is provided (zero-egress environment)."""
+def _create_owlv2_teacher(pretrained: bool = True, local_path: str = None, **kw):
+    """Parity entry for the reference's optional OWLv2 teacher (ref
+    model_registry.py:269-279). Pretrained weights need network or a local
+    HF snapshot; ``pretrained=False`` constructs from config (random init),
+    exactly the reference's fallback."""
     if not _HAS_TRANSFORMERS:
         raise RuntimeError("owlv2 models require the `transformers` package")
-    raise NotImplementedError(
-        "owlv2 teacher needs local HF weights (google/owlv2-base-patch16-ensemble); "
-        "provide a converted checkpoint via utils.checkpoint"
+    kw.pop("qat_wrapper", None)
+    from transformers import Owlv2Config, Owlv2ForObjectDetection
+
+    from qat_vit_tpu.models.owlv2 import OWLV2_BASE_TEXT, OWLV2_BASE_VISION
+
+    if pretrained:
+        src = local_path or "google/owlv2-base-patch16-ensemble"
+        return Owlv2ForObjectDetection.from_pretrained(src)
+    config = Owlv2Config(
+        text_config=dict(OWLV2_BASE_TEXT), vision_config=dict(OWLV2_BASE_VISION)
     )
+    return Owlv2ForObjectDetection(config)
 
 
 @register_model(
@@ -205,11 +213,15 @@ def _create_owlv2_teacher(**kw):
     description="Pruned OWLv2 student via config surgery (gated, see teacher)",
 )
 def _create_owlv2_student(**kw):
+    """Pruned OWLv2 student via config surgery (ref :282-327); fully offline
+    construction — see models/owlv2.py."""
     if not _HAS_TRANSFORMERS:
         raise RuntimeError("owlv2 models require the `transformers` package")
-    raise NotImplementedError(
-        "owlv2 student needs local HF weights; provide a converted checkpoint"
-    )
+    from qat_vit_tpu.models.owlv2 import build_owlv2_student_torch
+
+    kw.pop("qat_wrapper", None)
+    kw.pop("num_classes", None)
+    return build_owlv2_student_torch(**kw)
 
 
 # --------------------------------------------------------------------------

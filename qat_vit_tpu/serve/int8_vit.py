@@ -66,11 +66,13 @@ def convert_vit(
             "int8 conversion requires the input QuantStub observer "
             "(train with qat_wrapper=True, as the reference does)"
         )
-    blocks = []
+    # blocks keyed by str(i): survives msgpack serialization unchanged
+    # (flax msgpack round-trips lists as string-keyed dicts).
+    blocks = {}
     for i in range(cfg.depth):
         p, s = params[f"blocks_{i}"], quant_stats[f"blocks_{i}"]
         fc1 = dense_int8(p["mlp"]["fc1"], s["mlp"]["fc1"], qcfg)
-        blocks.append(
+        blocks[str(i)] = (
             {
                 "norm1": ln_params(p["norm1"], s["norm1"], qcfg),
                 "qkv": dense_int8(p["attn"]["qkv"], s["attn"]["qkv"], qcfg),
@@ -124,7 +126,8 @@ def int8_apply(
     cls = jnp.broadcast_to(qp["cls_token"], (B, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1) + qp["pos_embed"]
 
-    for blk in qp["blocks"]:
+    for i in range(cfg.depth):
+        blk = qp["blocks"][str(i)]
         y = _layernorm(x, blk["norm1"], eps)
         qkv = qd(y, blk["qkv"], blk["norm1"]["out_q"])
         N = qkv.shape[1]

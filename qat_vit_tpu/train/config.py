@@ -45,6 +45,8 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     "student_family": "vit",
     "limit_train_batches": 0,  # 0 = full epoch
     "limit_eval_batches": 0,
+    "resume": "",  # path to a resume-state checkpoint (capability beyond ref)
+    "save_resume_state": True,  # write resume_state.msgpack each epoch
 }
 
 _TYPES = {k: type(v) for k, v in DEFAULT_HPARAMS.items()}

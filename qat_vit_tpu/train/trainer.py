@@ -310,6 +310,58 @@ class KDQATTrainer:
         return correct / max(total, 1)
 
     # ------------------------------------------------------------------
+    def save_resume_state(self, path: str, epoch: int) -> str:
+        """Full-state checkpoint for mid-run resume — params, optimizer
+        moments, observer stats, step counter, epoch. The reference is
+        save-only with no resume (survey §5 checkpoint/resume); this is a
+        deliberate capability addition."""
+        from qat_vit_tpu.utils.checkpoint import save_checkpoint
+
+        qs = self.state.quant_stats
+        tree = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "quant_stats": jax.device_get(qs) if qs is not None else {},
+            "step": int(self.state.step),
+        }
+        return save_checkpoint(
+            path, tree,
+            {"epoch": epoch, "qat_enabled": self.qat_enabled,
+             "kind": "resume-state"},
+        )
+
+    def load_resume_state(self, path: str) -> int:
+        """Restore a resume checkpoint; returns the epoch to continue FROM.
+        If the checkpoint was taken under QAT, the QAT phase is re-enabled
+        first so optimizer/observer trees have the right structure."""
+        from qat_vit_tpu.utils.checkpoint import load_checkpoint, load_metadata
+
+        meta = load_metadata(path)
+        if meta.get("qat_enabled"):
+            self.enable_qat()
+        repl = replicated_sharding(self.mesh)
+        template = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "quant_stats": (
+                jax.device_get(self.state.quant_stats)
+                if self.state.quant_stats is not None else {}
+            ),
+            "step": int(self.state.step),
+        }
+        restored = load_checkpoint(path, template)
+        self.state = TrainState(
+            params=jax.device_put(restored["params"], repl),
+            opt_state=jax.device_put(restored["opt_state"], repl),
+            quant_stats=(
+                jax.device_put(restored["quant_stats"], repl)
+                if self.qat_enabled else None
+            ),
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        return int(meta.get("epoch", -1)) + 1
+
+    # ------------------------------------------------------------------
     def convert_int8(self) -> Dict[str, Any]:
         """Observer folding → int8 export pytree (reference convert, :376-379)."""
         if not self.qat_enabled:
@@ -379,8 +431,12 @@ def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
     limit_eval = int(hp.get("limit_eval_batches", 0))
     results = []
     final_quant_acc = 0.0
+    start_epoch = 0
+    if hp.get("resume"):
+        start_epoch = trainer.load_resume_state(hp["resume"])
+        logger.info("resumed from %s at epoch %d", hp["resume"], start_epoch)
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         if epoch >= qat_start:
             trainer.enable_qat()
         tm = trainer.train_epoch(epoch, limit_batches=limit_train)
@@ -422,6 +478,10 @@ def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
                 "epoch %d/%d loss %.4f qat_acc %.4f quant_acc %.4f (%.0f img/s)%s",
                 epoch + 1, epochs, tm.get("train_loss", 0.0), qat_acc, quant_acc,
                 tm["imgs_per_sec"], " [QAT]" if trainer.qat_enabled else "",
+            )
+        if dist.is_main_process and hp.get("save_resume_state", True):
+            trainer.save_resume_state(
+                os.path.join(output_dir, "resume_state.msgpack"), epoch
             )
         results.append(
             EpochResult(epoch, tm.get("train_loss", 0.0), qat_acc, quant_acc,

@@ -54,6 +54,48 @@ def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None) -> Dic
     return serialization.msgpack_restore(data)
 
 
+def tolerant_merge(template: Dict[str, Any], restored: Dict[str, Any]) -> Tuple[Dict[str, Any], list, list]:
+    """``strict=False``-style restore (the reference's defensive loaders,
+    model_registry.py:244-257, evaluator.py:92-96): overwrite template leaves
+    that exist in ``restored``, keep template values for missing keys, ignore
+    unexpected keys. Returns (merged, missing_paths, unexpected_paths)."""
+    missing: list = []
+    unexpected: list = []
+
+    def walk(tmpl, rest, path):
+        if isinstance(tmpl, dict):
+            rest = rest if isinstance(rest, dict) else {}
+            for k in rest:
+                if k not in tmpl:
+                    unexpected.append(path + (k,))
+            return {
+                k: walk(v, rest.get(k, _MISSING), path + (k,)) for k, v in tmpl.items()
+            }
+        if rest is _MISSING:
+            missing.append(path)
+            return tmpl
+        arr = np.asarray(rest)
+        want = np.asarray(tmpl)
+        if arr.shape != want.shape:
+            missing.append(path)  # shape mismatch → treated as missing
+            return tmpl
+        return arr.astype(want.dtype)
+
+    merged = walk(template, restored, ())
+    if missing:
+        logger.warning("checkpoint missing %d leaves (kept template values)", len(missing))
+    if unexpected:
+        logger.warning("checkpoint has %d unexpected leaves (ignored)", len(unexpected))
+    return merged, missing, unexpected
+
+
+class _Missing:
+    pass
+
+
+_MISSING = _Missing()
+
+
 def load_metadata(path: str) -> dict:
     meta_path = path + ".json"
     if os.path.isfile(meta_path):

@@ -1,0 +1,143 @@
+"""Search engine tests: TPE sampler quality, median pruner, driver contract."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qat_vit_tpu.search.tpe import (
+    MedianPruner,
+    ParamSpec,
+    Study,
+    TPESampler,
+    TrialPruned,
+    create_study,
+)
+
+
+class TestTPESampler:
+    def test_respects_bounds_and_types(self):
+        study = create_study(seed=0)
+
+        def objective(trial):
+            lr = trial.suggest_float("lr", 5e-5, 3e-4, log=True)
+            q = trial.suggest_int("q", 0, 8)
+            assert 5e-5 <= lr <= 3e-4
+            assert isinstance(q, int) and 0 <= q <= 8
+            return -((np.log(lr) - np.log(1e-4)) ** 2)
+
+        study.optimize(objective, n_trials=25)
+        assert len(study.trials) == 25
+
+    def test_beats_random_on_quadratic(self):
+        """TPE must concentrate samples near the optimum vs pure random."""
+
+        def run(sampler_seed, tpe: bool):
+            study = Study(
+                direction="maximize",
+                sampler=TPESampler(seed=sampler_seed,
+                                   n_startup_trials=10 if tpe else 10**9),
+                pruner=MedianPruner(10**9, 10**9),
+            )
+
+            def objective(trial):
+                x = trial.suggest_float("x", -10.0, 10.0)
+                return -(x - 3.0) ** 2
+
+            study.optimize(objective, n_trials=60)
+            return study.best_value
+
+        tpe_scores = [run(s, True) for s in range(5)]
+        rnd_scores = [run(s, False) for s in range(5)]
+        assert np.mean(tpe_scores) > np.mean(rnd_scores), (tpe_scores, rnd_scores)
+
+    def test_deterministic_given_seed(self):
+        def run():
+            study = create_study(seed=7)
+            study.optimize(lambda t: t.suggest_float("x", 0, 1), n_trials=15)
+            return [t.params["x"] for t in study.trials]
+
+        assert run() == run()
+
+    def test_log_domain_sampling(self):
+        s = TPESampler(seed=0)
+        spec = ParamSpec("lr", 1e-6, 1e-2, log=True)
+        study = Study(sampler=s)
+        vals = [s.sample(study, spec) for _ in range(200)]
+        # log-uniform: ~half the mass below the geometric mean 1e-4
+        frac = np.mean([v < 1e-4 for v in vals])
+        assert 0.3 < frac < 0.7, frac
+
+
+class TestMedianPruner:
+    def test_prunes_below_median(self):
+        study = create_study(seed=0, n_startup_trials=2, n_warmup_steps=1)
+
+        # seed 3 complete trials with known intermediates
+        def good(trial):
+            for step, v in enumerate([0.5, 0.6, 0.7]):
+                trial.report(v, step)
+            return 0.7
+
+        study.optimize(good, n_trials=3)
+
+        pruned = {"flag": False}
+
+        def bad(trial):
+            trial.report(0.1, 0)
+            trial.report(0.1, 1)  # step >= warmup, below median
+            if trial.should_prune():
+                pruned["flag"] = True
+                raise TrialPruned()
+            return 0.1
+
+        study.optimize(bad, n_trials=1)
+        assert pruned["flag"]
+        assert study.trials[-1].state == "PRUNED"
+        # pruned trial keeps its last intermediate as value (optuna behavior)
+        assert study.trials[-1].value == 0.1
+
+    def test_no_prune_during_startup_or_warmup(self):
+        study = create_study(seed=0, n_startup_trials=5, n_warmup_steps=1)
+
+        def obj(trial):
+            trial.report(0.01, 0)
+            assert not trial.should_prune()  # startup window
+            return 0.01
+
+        study.optimize(obj, n_trials=3)
+
+
+class TestDriverMicro:
+    def test_search_micro_end_to_end(self, tmp_path):
+        """2-trial micro search → best_params.yaml consumable by the trainer."""
+        import yaml
+
+        from qat_vit_tpu.data import synthetic_cifar10
+        from qat_vit_tpu.search.driver import SearchConfig, run_optuna_search
+        from qat_vit_tpu.train.config import load_hparams
+
+        cfg = SearchConfig(
+            trials=2, epochs=2, batch_size=16, eval_batch_size=32,
+            limit_train_batches=2, limit_eval_batches=1,
+            output_dir=str(tmp_path / "search"),
+            mlflow_uri=f"sqlite:///{tmp_path}/mlflow.db",
+            data_dir=str(tmp_path / "nodata"), micro=True, seed=0,
+        )
+        data = synthetic_cifar10(n_train=128, n_test=64, seed=0)
+        result = run_optuna_search(cfg, data=data, prefer_optuna=False)
+        path = result["best_params_path"]
+        assert os.path.isfile(path)
+        bp = yaml.safe_load(open(path))
+        assert {"lr", "weight_decay", "label_smoothing", "kd_temperature",
+                "kd_alpha", "qat_start_epoch", "epochs", "batch_size",
+                "qat_backend"} <= set(bp)
+        # the trainer can consume it (the best_params.yaml contract)
+        hp = load_hparams(path)
+        assert hp["epochs"] == 2 and isinstance(hp["qat_start_epoch"], int)
+        # tracker recorded trial runs + summary
+        from qat_vit_tpu.tracking import SqliteTracker
+
+        t = SqliteTracker(cfg.mlflow_uri, cfg.experiment)
+        names = {r["name"] for r in t.runs()}
+        assert "trial_0000" in names and "optuna_best_summary" in names
