@@ -166,6 +166,9 @@ def bench_int8_infer() -> float:
 
 
 def main() -> None:
+    from qat_vit_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     backend = jax.default_backend()

@@ -77,11 +77,15 @@ def quantized_dense(
 ) -> jnp.ndarray:
     """quantize(x) → int8 GEMM → dequant(+bias): one serving-layer step.
 
-    ``use_pallas=None`` auto-selects the fused Pallas kernel on TPU when the
-    shapes meet its tiling constraints, else the XLA path.
+    ``use_pallas=None`` currently resolves to the XLA path: measured on a real
+    v5e (scripts/kernel_bench.py), XLA's int8 ``dot_general`` sustains
+    ~150-240 TOPs on the ViT-S shapes while the current Pallas kernel reaches
+    only ~45-60 TOPs — XLA overlaps the quantize/dequant fusions with the MXU
+    better than the single-panel Pallas schedule. The kernel remains available
+    (``use_pallas=True``) and is the optimization target for the next round.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     if use_pallas:
         from qat_vit_tpu.ops.pallas_gemm import fused_quantize_matmul_available
 

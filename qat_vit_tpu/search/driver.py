@@ -221,6 +221,8 @@ _PrunedSignal: type = _tpe.TrialPruned
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
+    from qat_vit_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="TPU-native QAT hyperparameter search")
     for f in dataclasses.fields(SearchConfig):
         flag = "--" + f.name.replace("_", "-")

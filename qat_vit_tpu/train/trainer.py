@@ -510,6 +510,9 @@ def main(argv=None) -> None:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    from qat_vit_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="TPU-native KD+QAT final training")
     add_hparam_flags(parser)
     args = parser.parse_args(argv)

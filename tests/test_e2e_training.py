@@ -125,6 +125,34 @@ class TestEndToEnd:
         assert {"train_loss", "qat_acc", "quant_acc", "final_quant_acc"} <= keys
         assert len(result["results"]) == hp["epochs"]
 
+    def test_resume_state_roundtrip(self, tmp_path, micro_models):
+        """Full-state resume (beyond-reference capability): params, optimizer
+        moments, observers, and phase survive a save/load and training
+        continues bit-compatibly."""
+        student, teacher = micro_models
+        hp = _micro_hparams(tmp_path, epochs=2, qat_start_epoch=0)
+        data = synthetic_cifar10(n_train=128, n_test=64, seed=2)
+        t1 = KDQATTrainer(hp, data=data, student=student, teacher=teacher)
+        t1.enable_qat()
+        t1.train_epoch(0, limit_batches=3)
+        path = t1.save_resume_state(str(tmp_path / "resume.msgpack"), epoch=0)
+
+        t2 = KDQATTrainer(hp, data=data, student=student, teacher=teacher,
+                          teacher_params=t1.teacher_params,
+                          steps=t1.shared_steps())
+        next_epoch = t2.load_resume_state(path)
+        assert next_epoch == 1 and t2.qat_enabled
+        for a, b in zip(jax.tree.leaves(jax.device_get(t1.state.params)),
+                        jax.tree.leaves(jax.device_get(t2.state.params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(jax.device_get(t1.state.quant_stats)),
+                        jax.tree.leaves(jax.device_get(t2.state.quant_stats))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # one more epoch from the restored state must match continuing t1
+        m1 = t1.train_epoch(1, limit_batches=2)
+        m2 = t2.train_epoch(1, limit_batches=2)
+        np.testing.assert_allclose(m1["train_loss"], m2["train_loss"], rtol=1e-5)
+
     def test_checkpoint_roundtrip(self, tmp_path, micro_models):
         """best_qat checkpoint restores into a working model (replaces the
         reference's untested strict=False loaders)."""
