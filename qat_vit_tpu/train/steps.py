@@ -98,7 +98,7 @@ def loss_hparams(hparams: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 
 
 def make_train_step(
-    teacher_apply: Callable,
+    teacher_apply: Optional[Callable],
     student_apply: Callable,
     tx: optax.GradientTransformation,
     *,
@@ -115,6 +115,12 @@ def make_train_step(
     Loss hyperparameters arrive as traced scalars (see :func:`loss_hparams`);
     lr/weight-decay live in the injected optimizer state — so the compiled
     step is reused across hyperparameter settings.
+
+    ``teacher_apply=None`` builds the cached-teacher variant: the batch
+    carries precomputed ``teacher_logits`` (the teacher is frozen and the
+    pipeline has no augmentation, so its logits per image are constants —
+    computing them once removes the ViT-B forward from every step; measured
+    ~30% of the QAT step on v5e).
     """
     prep = preprocess_fn(image_size)
 
@@ -126,7 +132,10 @@ def make_train_step(
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         x = prep(batch["image"])
         labels = batch["label"]
-        t_logits = jax.lax.stop_gradient(teacher_apply(teacher_params, x))
+        if teacher_apply is None:
+            t_logits = batch["teacher_logits"].astype(jnp.float32)
+        else:
+            t_logits = jax.lax.stop_gradient(teacher_apply(teacher_params, x))
 
         def loss_fn(params):
             if qat:

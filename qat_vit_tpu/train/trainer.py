@@ -69,6 +69,29 @@ def _unbox(tree):
     return nn.meta.unbox(tree)
 
 
+def load_model_params(path: str, cfg, template=None):
+    """Load model weights from either this framework's .msgpack or a torch
+    .pth/.bin in timm/HF layout (converted on the fly). Tolerant restore when
+    a template is given (the reference's ``strict=False`` loaders)."""
+    from qat_vit_tpu.utils.checkpoint import load_checkpoint, tolerant_merge
+
+    if path.endswith((".pth", ".bin", ".pt")):
+        from qat_vit_tpu.models.torch_convert import (
+            load_torch_state_dict,
+            timm_vit_to_params,
+        )
+
+        state = load_torch_state_dict(path)
+        return timm_vit_to_params(state, cfg, strict=template is None)
+    restored = load_checkpoint(path)
+    if "params" in restored:
+        restored = restored["params"]
+    if template is not None:
+        merged, _, _ = tolerant_merge(dict(template), restored)
+        return merged
+    return restored
+
+
 @dataclasses.dataclass
 class EpochResult:
     epoch: int
@@ -135,12 +158,21 @@ class KDQATTrainer:
         # ---- parameters ----
         rng_t, rng_s, self.rng = jax.random.split(self.rng, 3)
         repl = replicated_sharding(self.mesh)
+        if teacher_params is None and self.hp.get("teacher_ckpt"):
+            teacher_params = load_model_params(
+                self.hp["teacher_ckpt"], self.teacher.cfg
+            )
+            logger.info("loaded teacher weights from %s", self.hp["teacher_ckpt"])
         if teacher_params is None:
             teacher_params = _unbox(
                 self.teacher.module.init(
                     rng_t, self.teacher.example_input(1), observe=False
                 )
             )["params"]
+            logger.warning(
+                "teacher is randomly initialized (no teacher_ckpt given; the "
+                "reference downloads pretrained weights, which needs network)"
+            )
         # frozen teacher in bf16 (reference freezes + no_grad, :257-260)
         self.teacher_params = jax.device_put(
             jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), teacher_params), repl
@@ -152,7 +184,14 @@ class KDQATTrainer:
                 observe=False,
             )
         )
-        params = jax.device_put(student_vars["params"], repl)
+        student_params = student_vars["params"]
+        if self.hp.get("student_ckpt"):
+            student_params = load_model_params(
+                self.hp["student_ckpt"], self.student_float_cfg,
+                template=student_params,
+            )
+            logger.info("loaded student weights from %s", self.hp["student_ckpt"])
+        params = jax.device_put(student_params, repl)
 
         # ---- optimizer + state ----
         self.tx = make_optimizer(
@@ -180,21 +219,24 @@ class KDQATTrainer:
             {"params": p}, x, observe=False
         )
         self._teacher_apply = teacher_apply
+        self.cache_teacher = bool(self.hp.get("cache_teacher_logits", True))
+        step_teacher = None if self.cache_teacher else teacher_apply
         shared = steps if steps is not None else {}
         self.train_step_float = shared.get("train_float") or make_train_step(
-            teacher_apply, self.student_float.apply, self.tx,
+            step_teacher, self.student_float.apply, self.tx,
             qat=False, image_size=image_size,
         )
         self.eval_step_float = shared.get("eval_float") or make_eval_step(
             self.student_float.apply, qat=False, image_size=image_size
         )
         self.train_step_qat = shared.get("train_qat") or make_train_step(
-            teacher_apply, self.student_qat.apply, self.tx,
+            step_teacher, self.student_qat.apply, self.tx,
             qat=True, image_size=image_size,
         )
         self.eval_step_qat = shared.get("eval_qat") or make_eval_step(
             self.student_qat.apply, qat=True, image_size=image_size
         )
+        self._teacher_logits: Optional[np.ndarray] = None
 
         # ---- data (reference :210-254) ----
         if data is None:
@@ -256,8 +298,43 @@ class KDQATTrainer:
         logger.info("QAT enabled (lr -> %.3g)", lr)
 
     # ------------------------------------------------------------------
+    def _ensure_teacher_logits(self) -> None:
+        """Precompute the frozen teacher's logits over the train set once.
+
+        Mathematically identical to per-step teacher forwards (teacher frozen,
+        no augmentation); removes the ViT-B forward from the hot loop."""
+        if not self.cache_teacher or self._teacher_logits is not None:
+            return
+        from qat_vit_tpu.data.pipeline import preprocess_fn
+
+        prep = preprocess_fn(self.image_size)
+        apply = self._teacher_apply
+
+        @jax.jit
+        def fwd(p, imgs):
+            return apply(p, prep(imgs)).astype(jnp.float32)
+
+        imgs = self.data["train_images"]
+        bs = int(self.hp.get("eval_batch_size", 512))
+        out = np.empty((len(imgs), int(self.hp["num_classes"])), np.float32)
+        t0 = time.perf_counter()
+        for start in range(0, len(imgs), bs):
+            chunk = imgs[start : start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            logits = fwd(self.teacher_params, jnp.asarray(chunk))
+            out[start : start + bs - pad] = np.asarray(logits)[: bs - pad]
+        self._teacher_logits = out
+        logger.info(
+            "cached teacher logits for %d images in %.1fs",
+            len(imgs), time.perf_counter() - t0,
+        )
+
     def train_epoch(self, epoch: int, limit_batches: int = 0) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
+        self._ensure_teacher_logits()
         step_fn = self.train_step_qat if self.qat_enabled else self.train_step_float
         device_metrics = []  # device scalars: no host sync until epoch end
         n_batches = 0
@@ -266,9 +343,10 @@ class KDQATTrainer:
         for i, batch in enumerate(self.train_loader):
             if limit_batches and i >= limit_batches:
                 break
-            batch = shard_batch(
-                {"image": batch["image"], "label": batch["label"]}, self.mesh
-            )
+            host_batch = {"image": batch["image"], "label": batch["label"]}
+            if self.cache_teacher:
+                host_batch["teacher_logits"] = self._teacher_logits[batch["index"]]
+            batch = shard_batch(host_batch, self.mesh)
             self.state, metrics = step_fn(
                 self.state, self.teacher_params, batch, self.loss_hp
             )
@@ -413,12 +491,17 @@ def _pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]
 def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
     dist = get_dist_info()
     output_dir = hp["output_dir"]
+    sysmetrics = None
     if dist.is_main_process:
         os.makedirs(output_dir, exist_ok=True)
         save_effective_hparams(hp, output_dir)
         tracker = make_tracker(hp["mlflow_uri"], hp["experiment"])
         run = tracker.start_run("final_train")
         run.log_params({k: hp[k] for k in DEFAULT_HPARAMS})
+        # ≙ mlflow.enable_system_metrics_logging (ref :201)
+        from qat_vit_tpu.tracking import enable_system_metrics_logging
+
+        sysmetrics = enable_system_metrics_logging(run)
     else:
         run = NullRun()
     barrier("dataset")  # ≙ reference download barrier (:221-222)
@@ -490,6 +573,8 @@ def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
         barrier("epoch_end")  # ≙ :402-403
 
     if dist.is_main_process:
+        if sysmetrics is not None:
+            sysmetrics.stop()
         run.log_metric("final_quant_acc", final_quant_acc)
         for fname in ("effective_hparams.yaml", "best_qat.msgpack",
                       "best_converted.msgpack"):

@@ -98,6 +98,22 @@ class TestPreprocess:
         expected = (128 / 255.0 - mean) / std
         np.testing.assert_allclose(out[0, 100, 100], expected, rtol=1e-5)
 
+    def test_matrix_resize_equals_jax_image_resize(self):
+        """The GEMM-form bicubic must match jax.image.resize (linearity)."""
+        from qat_vit_tpu.data.pipeline import preprocess_fn
+
+        import jax
+
+        rng = np.random.default_rng(7)
+        imgs = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+        got = np.asarray(preprocess_fn(224)(jnp.asarray(imgs)))
+        x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+        ref = jax.image.resize(x, (3, 224, 224, 3), method="bicubic")
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        ref = (np.asarray(ref) - mean) / std
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
     def test_bicubic_upsample_close_to_pil(self):
         """Sanity vs PIL bicubic (the reference's torchvision Resize backend):
         same kernel family, so agreement should be within a few LSBs."""

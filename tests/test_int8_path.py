@@ -184,6 +184,45 @@ class TestConvertAndServe:
         hi = (255 - float(q["zero_point"])) * s
         assert lo <= -0.17 + s and hi >= 5.0 - s, (lo, hi, s)
 
+    def test_bf16_compute_dtype_preserves_predictions(self):
+        """Serving with bf16 residual stream must agree with f32 on argmax
+        (the int8 grid is much coarser than bf16 resolution)."""
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        model, cfg, params, qs = _trained_micro_qat(seed=3)
+        qp = convert_vit(nn.meta.unbox(params), qs, cfg)
+        x = jnp.asarray(np.random.default_rng(9).normal(
+            size=(32, 32, 32, 3)).astype(np.float32))
+        f32_logits = np.asarray(int8_apply(qp, x, cfg, use_pallas=False))
+        bf16_logits = np.asarray(int8_apply(
+            qp, x, cfg, use_pallas=False,
+            compute_dtype=jnp.bfloat16, attn_dtype=jnp.bfloat16))
+        agree = (f32_logits.argmax(-1) == bf16_logits.argmax(-1)).mean()
+        assert agree >= 0.9, agree
+
+    def test_predictor_api(self, tmp_path):
+        """Int8Predictor end-to-end: export -> checkpoint -> batched predict."""
+        import flax.linen as nn
+
+        from qat_vit_tpu.serve import Int8Predictor
+        from qat_vit_tpu.utils.checkpoint import save_checkpoint
+
+        model, cfg, params, qs = _trained_micro_qat(seed=4)
+        qp = convert_vit(nn.meta.unbox(params), qs, cfg)
+        path = str(tmp_path / "export.msgpack")
+        save_checkpoint(path, qp)
+        pred = Int8Predictor.from_checkpoint(path, cfg, batch_size=16)
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (37, 32, 32, 3), dtype=np.uint8)  # non-multiple of batch
+        labels = pred.predict(imgs)
+        assert labels.shape == (37,) and labels.dtype == np.int32
+        logits = pred.logits(imgs)
+        assert logits.shape == (37, 10)
+        # streaming path
+        outs = list(pred.serve_stream(iter([imgs[:16], imgs[16:32]])))
+        assert len(outs) == 2 and outs[0].shape == (16, 10)
+
     def test_dense_int8_colsum(self):
         rng = np.random.default_rng(5)
         w = rng.normal(size=(16, 32)).astype(np.float32)

@@ -164,3 +164,21 @@ class TestEvaluation:
         assert rows[2]["error"] is not None  # per-row failure tolerance
         table = format_table(rows)
         assert "student_qat" in table and "ERROR" in table
+
+
+class TestSystemMetrics:
+    def test_sampler_logs_system_metrics(self, tmp_path):
+        import time as _time
+
+        from qat_vit_tpu.tracking import (
+            SqliteTracker, enable_system_metrics_logging)
+
+        t = SqliteTracker(f"sqlite:///{tmp_path}/m.db", "exp1")
+        run = t.start_run("r")
+        logger = enable_system_metrics_logging(run, interval=0.2)
+        _time.sleep(0.9)
+        logger.stop()
+        run.end()
+        keys = {m["key"] for m in t.metrics(run.run_id)}
+        assert "system/cpu_utilization_percentage" in keys
+        assert "system/system_memory_usage_megabytes" in keys

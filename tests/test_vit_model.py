@@ -157,6 +157,37 @@ class TestTorchParity:
         assert y.shape == (2, 10)
 
 
+class TestCheckpointPathways:
+    def test_convert_teacher_script_and_trainer_load(self, tmp_path, mini_pair):
+        """torch .pth → convert_teacher.py → msgpack → trainer loads it, and
+        the .pth also loads directly (on-the-fly conversion)."""
+        tm, cfg, params = mini_pair
+        pth = str(tmp_path / "teacher.pth")
+        torch.save({"state_dict": {f"module.{k}": v for k, v in
+                                   tm.state_dict().items()}}, pth)
+
+        # the registry model is ViT-sized; convert against the mini geometry
+        # by calling the same functions the script drives
+        from qat_vit_tpu.models.torch_convert import (
+            load_torch_state_dict, timm_vit_to_params)
+        from qat_vit_tpu.utils.checkpoint import save_checkpoint
+        from qat_vit_tpu.train.trainer import load_model_params
+
+        state = load_torch_state_dict(pth)
+        p2 = timm_vit_to_params(state, cfg)
+        msgpack_path = str(tmp_path / "teacher.msgpack")
+        save_checkpoint(msgpack_path, {"params": p2})
+
+        # load path 1: msgpack
+        loaded = load_model_params(msgpack_path, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(loaded["head"]["kernel"]), params["head"]["kernel"])
+        # load path 2: raw .pth converted on the fly
+        loaded2 = load_model_params(pth, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(loaded2["head"]["kernel"]), params["head"]["kernel"])
+
+
 class TestQuantSites:
     def test_fake_quant_site_count_matches_torch_prepare_qat(self):
         """Survey-verified: 2-block ViT under prepare_qat gets 10 weight + 16
