@@ -131,13 +131,19 @@ class QuantDense(nn.Module):
             else None
         )
         if self.quant is not None:
-            # QAT path runs in fp32 (the reference disables AMP under QAT).
+            # Fake-quant math is always f32 (torch parity); the matmul runs in
+            # the configured dtype — f32 by default (the reference disables
+            # AMP under QAT), bf16 when the trainer's opt-in `qat_amp` is set.
             kernel = FakeQuantizer(self.quant.weight, name="weight_fq")(
                 kernel, observe=observe
             )
-            y = jnp.dot(x.astype(jnp.float32), kernel, preferred_element_type=jnp.float32)
+            y = jnp.dot(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                preferred_element_type=self.dtype,
+            )
             if bias is not None:
-                y = y + bias
+                y = y + bias.astype(self.dtype)
             if self.quantize_output:
                 y = FakeQuantizer(self.quant.activation, name="act_fq")(
                     y, observe=observe
@@ -167,10 +173,9 @@ class QuantLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
-        dtype = jnp.float32 if self.quant is not None else self.dtype
         y = nn.LayerNorm(
             epsilon=self.eps,
-            dtype=dtype,
+            dtype=self.dtype,
             param_dtype=jnp.float32,
             name="ln",
         )(x)
@@ -329,7 +334,7 @@ class VisionTransformer(nn.Module):
             (1, cfg.seq_len, cfg.embed_dim),
             jnp.float32,
         )
-        dtype = jnp.float32 if cfg.quant is not None else cfg.dtype
+        dtype = cfg.dtype
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(x.dtype), (B, 1, cfg.embed_dim)), x], axis=1
         )

@@ -58,6 +58,12 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # saving on v5e. Set False to force per-step teacher forwards (reference
     # behavior, same numbers, slower).
     "cache_teacher_logits": True,
+    # Opt-in bf16 matmuls under fake-quant. The reference (and default here)
+    # runs QAT in f32 — torch disables AMP once fake-quant starts
+    # (qat_trainer.py:320) because torch.ao kernels reject fp16 mixes; on TPU
+    # bf16 composes fine with the f32 fake-quant math and is ~25% faster.
+    # Off by default for strict numerics parity.
+    "qat_amp": False,
 }
 
 _TYPES = {k: type(v) for k, v in DEFAULT_HPARAMS.items()}

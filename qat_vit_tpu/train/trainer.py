@@ -144,8 +144,11 @@ class KDQATTrainer:
             family, num_classes=num_classes, image_size=image_size
         )
         qconfig = default_qat_qconfig(self.hp.get("qat_backend", "qnnpack"))
+        qat_dtype = (
+            jnp.bfloat16 if self.hp.get("qat_amp", False) else jnp.float32
+        )
         self.student_qat_cfg = dataclasses.replace(
-            base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=jnp.float32
+            base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=qat_dtype
         )
         self.student_float_cfg = dataclasses.replace(
             base_student.cfg, quant=None, qat_wrapper=False, dtype=dtype
@@ -543,7 +546,8 @@ def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
                 quant_acc,
                 {"params": jax.device_get(trainer.state.params),
                  "quant_stats": jax.device_get(qs) if qs is not None else {}},
-                {"epoch": epoch, "qat_acc": qat_acc},
+                {"epoch": epoch, "qat_acc": qat_acc,
+                 "qat_enabled": trainer.qat_enabled},
             )
             run.log_metrics(
                 {

@@ -236,3 +236,48 @@ class TestConvertAndServe:
             np.asarray(out["w_colsum"]),
             np.asarray(out["w_int8"]).astype(np.int64).sum(0),
         )
+
+
+class TestUncalibratedSemantics:
+    def test_identity_until_observed(self):
+        """A never-calibrated fake-quant site passes through unchanged (a
+        float-phase checkpoint evaluated through the QAT graph must behave
+        as the float model, not shred tensors with the eps-floor scale)."""
+        import jax.numpy as jnp
+
+        from qat_vit_tpu.quant import fused_moving_avg_obs_fake_quant
+
+        x = jnp.linspace(-3.0, 3.0, 64)
+        y, mn, mx = fused_moving_avg_obs_fake_quant(
+            x, jnp.array(jnp.inf, jnp.float32), jnp.array(-jnp.inf, jnp.float32),
+            symmetric=False, quant_min=0, quant_max=255, observe=False,
+        )
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_float_ckpt_through_qat_graph_matches_float_eval(self):
+        """End-to-end: QAT model with all-uninitialized observers computes
+        the same logits as the float model on the same params."""
+        import dataclasses
+
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        from qat_vit_tpu.models.vit import ViTConfig, VisionTransformer
+        from qat_vit_tpu.quant import default_qat_qconfig
+        from qat_vit_tpu.train.steps import init_quant_stats
+
+        cfg_f = ViTConfig(num_classes=10, image_size=32, patch_size=8,
+                          embed_dim=64, depth=2, num_heads=2, quant=None)
+        cfg_q = dataclasses.replace(cfg_f, quant=default_qat_qconfig(),
+                                    qat_wrapper=True)
+        mf, mq = VisionTransformer(cfg_f), VisionTransformer(cfg_q)
+        params = nn.meta.unbox(
+            mf.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                    observe=False))["params"]
+        qs = init_quant_stats(mq, cfg_q)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 32, 32, 3)).astype(np.float32))
+        yf = mf.apply({"params": params}, x, observe=False)
+        yq = mq.apply({"params": params, "quant_stats": qs}, x, observe=False)
+        np.testing.assert_allclose(np.asarray(yq), np.asarray(yf),
+                                   atol=1e-5, rtol=1e-5)

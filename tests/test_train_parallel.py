@@ -216,3 +216,42 @@ class TestOptimizerParity:
         np.testing.assert_allclose(
             np.asarray(new["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-7
         )
+
+
+class TestQatAmp:
+    def test_bf16_qat_step_runs_and_learns(self):
+        """Opt-in qat_amp: bf16 matmuls under fake-quant — step runs, loss
+        finite, observers finite, params update."""
+        mesh = make_mesh()
+        teacher_cfg = ViTConfig(**CFG, quant=None, dtype=jnp.float32)
+        teacher = VisionTransformer(teacher_cfg)
+        student_cfg = ViTConfig(**CFG, quant=default_qat_qconfig(),
+                                qat_wrapper=True, dtype=jnp.bfloat16)
+        student = VisionTransformer(student_cfg)
+        import flax.linen as nn
+
+        x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        t_params = nn.meta.unbox(
+            teacher.init(jax.random.key(0), x0, observe=False))["params"]
+        s_params = nn.meta.unbox(
+            student.init(jax.random.key(1), x0, observe=False))["params"]
+        tx = make_optimizer(1e-3, 1e-4)
+        state = TrainState(
+            params=s_params, opt_state=tx.init(s_params),
+            quant_stats=init_quant_stats(student, student_cfg),
+            step=jnp.zeros((), jnp.int32))
+        step = make_train_step(
+            lambda p, x: teacher.apply({"params": p}, x, observe=False),
+            student.apply, tx, qat=True, image_size=32, donate=False)
+        lhp = loss_hparams(HP)
+        batch = shard_batch(dict(_batch(5)), mesh)
+        losses = []
+        for _ in range(4):
+            state, m = step(state, t_params, batch, lhp)
+            losses.append(float(m["train_loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        qs = jax.device_get(state.quant_stats)
+        assert all(np.isfinite(x).all() for x in jax.tree.leaves(qs))
+        # observer state must still be f32 regardless of compute dtype
+        assert all(x.dtype == np.float32 for x in jax.tree.leaves(qs))
