@@ -56,7 +56,7 @@ def _dispatch_overhead() -> float:
     return _timeit(lambda: float(trivial(x)))
 
 
-def bench_qat_train(cache_teacher: bool = True) -> float:
+def bench_qat_train(cache_teacher: bool = True, qat_dtype=None) -> float:
     import jax
     import jax.numpy as jnp
     import flax.linen as nn
@@ -69,6 +69,14 @@ def bench_qat_train(cache_teacher: bool = True) -> float:
 
     teacher = create_teacher("vit", dtype=jnp.bfloat16)
     student = create_student("vit")  # QAT-wrapped ViT-S/16
+    if qat_dtype is not None:  # opt-in qat_amp measurement
+        import dataclasses
+
+        from qat_vit_tpu.models import ModelBundle
+        from qat_vit_tpu.models.vit import VisionTransformer
+
+        cfg = dataclasses.replace(student.cfg, dtype=qat_dtype)
+        student = ModelBundle(student.name, VisionTransformer(cfg), cfg)
 
     t_params = nn.meta.unbox(
         teacher.module.init(jax.random.key(0), teacher.example_input(1),
@@ -186,8 +194,11 @@ def main() -> None:
     import jax
 
     backend = jax.default_backend()
+    import jax.numpy as _jnp
+
     train_ips = bench_qat_train(cache_teacher=True)
     train_ips_full = bench_qat_train(cache_teacher=False)
+    train_ips_amp = bench_qat_train(cache_teacher=True, qat_dtype=_jnp.bfloat16)
     try:
         infer_ips = bench_int8_infer()
     except Exception as e:  # int8 extras must not sink the headline number
@@ -203,6 +214,7 @@ def main() -> None:
         "extras": {
             "int8_infer_imgs_per_sec": round(infer_ips, 1) if infer_ips else None,
             "qat_train_imgs_per_sec_teacher_every_step": round(train_ips_full, 1),
+            "qat_train_imgs_per_sec_bf16_qat_amp": round(train_ips_amp, 1),
             "train_batch": TRAIN_BATCH,
             "infer_batch": INFER_BATCH,
             "train_steps_timed": TRAIN_STEPS,

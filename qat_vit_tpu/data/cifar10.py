@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import pickle
 import tarfile
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

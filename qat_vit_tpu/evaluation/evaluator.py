@@ -13,7 +13,6 @@ the whole ``src.evaluation`` package and ``scripts/evaluate.sh`` (survey
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 from typing import Any, Dict, Optional
 
@@ -25,7 +24,7 @@ from qat_vit_tpu.data import ArrayLoader, load_cifar10, preprocess
 from qat_vit_tpu.models import ModelBundle, create_model
 from qat_vit_tpu.serve.int8_vit import make_int8_forward
 from qat_vit_tpu.train.losses import top1_correct
-from qat_vit_tpu.utils.checkpoint import load_checkpoint, load_metadata, tolerant_merge
+from qat_vit_tpu.utils.checkpoint import load_checkpoint, tolerant_merge
 
 logger = logging.getLogger(__name__)
 

@@ -81,13 +81,33 @@ def dense_int8(
     dense_params: Dict[str, Any],
     dense_stats: Dict[str, Any],
     qcfg: QConfig,
+    per_channel: bool = False,
 ) -> Dict[str, Any]:
     """One QuantDense → int8 bundle: values, weight scale, bias, column sums
-    (for zero-point correction in the int8 GEMM), and its output qparams."""
+    (for zero-point correction in the int8 GEMM), and its output qparams.
+
+    ``per_channel=True`` quantizes each output column with its own symmetric
+    scale (torch's ``per_channel_symmetric`` — fbgemm's default weight scheme
+    and the standard accuracy upgrade over the reference's per-tensor
+    qnnpack config). The int8 GEMM broadcasts the [N] scale vector in the
+    dequant epilogue for free, so serving cost is unchanged.
+    """
     w = jnp.asarray(dense_params["kernel"])
-    w_q, w_scale = convert_weight(
-        w, dense_stats["weight_fq"]["min_val"], dense_stats["weight_fq"]["max_val"], qcfg
-    )
+    if per_channel:
+        from qat_vit_tpu.quant.observers import qparams_symmetric_per_channel
+
+        w_scale, _ = qparams_symmetric_per_channel(
+            w, axis=1, quant_min=qcfg.weight.quant_min,
+            quant_max=qcfg.weight.quant_max,
+        )
+        w_q = quantize_to_int(
+            w, w_scale[None, :], 0.0, qcfg.weight.quant_min, qcfg.weight.quant_max
+        )
+    else:
+        w_q, w_scale = convert_weight(
+            w, dense_stats["weight_fq"]["min_val"],
+            dense_stats["weight_fq"]["max_val"], qcfg,
+        )
     out: Dict[str, Any] = {
         "w_int8": w_q,
         "w_scale": w_scale,

@@ -107,11 +107,6 @@ def run_optuna_search(
                                  image_size=cfg.image_size)
         image_size = cfg.image_size
 
-    import jax
-
-    teacher_params = None  # initialized by the first trainer, then shared
-    shared_steps: Optional[Dict[str, Any]] = None
-
     base_hp = dict(DEFAULT_HPARAMS)
     base_hp.update(
         epochs=cfg.epochs, batch_size=cfg.batch_size,

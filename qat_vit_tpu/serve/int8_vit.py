@@ -35,28 +35,35 @@ from qat_vit_tpu.quant.convert import (
     gelu_transform_qparams,
     ln_params,
 )
-from qat_vit_tpu.quant.qconfig import QConfig, default_qat_qconfig
+from qat_vit_tpu.quant.qconfig import default_qat_qconfig
 
 
 def convert_vit(
     params: Dict[str, Any],
     quant_stats: Dict[str, Any],
     cfg: ViTConfig,
+    per_channel_weights: bool = False,
 ) -> Dict[str, Any]:
     """Fold observers into an int8 export pytree (replaces best_converted.pth).
 
     The returned tree is plain arrays (int8 weights, f32 scales/bias) —
     checkpointable with utils.checkpoint and consumable by :func:`int8_apply`.
+    ``per_channel_weights=True`` exports per-output-channel weight scales
+    (accuracy upgrade over the reference's per-tensor scheme; serving cost
+    unchanged — see quant/convert.dense_int8).
     """
     qcfg = cfg.quant or default_qat_qconfig()
+    from functools import partial as _partial
+
+    dense_int8_ = _partial(dense_int8, per_channel=per_channel_weights)
     out: Dict[str, Any] = {
         "cls_token": jnp.asarray(params["cls_token"], jnp.float32),
         "pos_embed": jnp.asarray(params["pos_embed"], jnp.float32),
-        "patch_embed": dense_int8(
+        "patch_embed": dense_int8_(
             params["patch_embed"]["proj"], quant_stats["patch_embed"]["proj"], qcfg
         ),
         "norm": ln_params(params["norm"], quant_stats["norm"], qcfg),
-        "head": dense_int8(params["head"], quant_stats["head"], qcfg),
+        "head": dense_int8_(params["head"], quant_stats["head"], qcfg),
     }
     if cfg.qat_wrapper and "input_fq" in quant_stats:
         fq = quant_stats["input_fq"]
@@ -71,12 +78,12 @@ def convert_vit(
     blocks = {}
     for i in range(cfg.depth):
         p, s = params[f"blocks_{i}"], quant_stats[f"blocks_{i}"]
-        fc1 = dense_int8(p["mlp"]["fc1"], s["mlp"]["fc1"], qcfg)
+        fc1 = dense_int8_(p["mlp"]["fc1"], s["mlp"]["fc1"], qcfg)
         blocks[str(i)] = (
             {
                 "norm1": ln_params(p["norm1"], s["norm1"], qcfg),
-                "qkv": dense_int8(p["attn"]["qkv"], s["attn"]["qkv"], qcfg),
-                "proj": dense_int8(p["attn"]["proj"], s["attn"]["proj"], qcfg),
+                "qkv": dense_int8_(p["attn"]["qkv"], s["attn"]["qkv"], qcfg),
+                "proj": dense_int8_(p["attn"]["proj"], s["attn"]["proj"], qcfg),
                 "norm2": ln_params(p["norm2"], s["norm2"], qcfg),
                 "fc1": fc1,
                 # static qparams for the fc2 input, derived through the GELU
@@ -85,7 +92,7 @@ def convert_vit(
                     s["mlp"]["fc1"]["act_fq"]["max_val"],
                     qcfg,
                 ),
-                "fc2": dense_int8(p["mlp"]["fc2"], s["mlp"]["fc2"], qcfg),
+                "fc2": dense_int8_(p["mlp"]["fc2"], s["mlp"]["fc2"], qcfg),
             }
         )
     out["blocks"] = blocks

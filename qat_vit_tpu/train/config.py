@@ -64,6 +64,7 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # bf16 composes fine with the f32 fake-quant math and is ~25% faster.
     # Off by default for strict numerics parity.
     "qat_amp": False,
+    "progress_bar": False,  # tqdm batch progress (ref qat_trainer.py:323-328)
 }
 
 _TYPES = {k: type(v) for k, v in DEFAULT_HPARAMS.items()}

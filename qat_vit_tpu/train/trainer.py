@@ -24,7 +24,6 @@ import dataclasses
 import logging
 import os
 import time
-from functools import partial
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -343,7 +342,17 @@ class KDQATTrainer:
         n_batches = 0
         n_images = 0
         t0 = time.perf_counter()
-        for i, batch in enumerate(self.train_loader):
+        iterator = enumerate(self.train_loader)
+        if self.hp.get("progress_bar", False) and self.dist.is_main_process:
+            # tqdm progress parity (reference qat_trainer.py:323-328)
+            from tqdm import tqdm
+
+            total = limit_batches or len(self.train_loader)
+            iterator = enumerate(
+                tqdm(self.train_loader, total=total,
+                     desc=f"epoch {epoch}", leave=False)
+            )
+        for i, batch in iterator:
             if limit_batches and i >= limit_batches:
                 break
             host_batch = {"image": batch["image"], "label": batch["label"]}

@@ -281,3 +281,44 @@ class TestUncalibratedSemantics:
         yq = mq.apply({"params": params, "quant_stats": qs}, x, observe=False)
         np.testing.assert_allclose(np.asarray(yq), np.asarray(yf),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestPerChannelWeights:
+    def test_per_channel_export_more_accurate(self):
+        """Per-channel weight scales must track the float model at least as
+        well as per-tensor (strictly better on heterogeneous columns)."""
+        import flax.linen as nn
+
+        model, cfg, params, qs = _trained_micro_qat(seed=7)
+        p = nn.meta.unbox(params)
+        qp_t = convert_vit(p, qs, cfg, per_channel_weights=False)
+        qp_c = convert_vit(p, qs, cfg, per_channel_weights=True)
+        assert qp_c["patch_embed"]["w_scale"].shape == (cfg.embed_dim,)
+        x = jnp.asarray(np.random.default_rng(11).normal(
+            size=(16, 32, 32, 3)).astype(np.float32))
+        y_float = model.apply({"params": params, "quant_stats": qs}, x,
+                              observe=False)
+        y_t = int8_apply(qp_t, x, cfg, use_pallas=False)
+        y_c = int8_apply(qp_c, x, cfg, use_pallas=False)
+        err_t = float(jnp.mean(jnp.abs(y_t - y_float)))
+        err_c = float(jnp.mean(jnp.abs(y_c - y_float)))
+        assert err_c <= err_t * 1.05, (err_c, err_t)
+
+    def test_per_channel_gemm_math(self):
+        """[N]-vector weight scales broadcast correctly in the dequant."""
+        rng = np.random.default_rng(13)
+        x = rng.normal(size=(8, 32)).astype(np.float32)
+        w = rng.normal(size=(32, 16)).astype(np.float32)
+        w[:, 0] *= 100.0  # heterogeneous column ranges
+        from qat_vit_tpu.quant.observers import qparams_symmetric_per_channel
+
+        ws, _ = qparams_symmetric_per_channel(jnp.asarray(w), axis=1)
+        wq = quantize_to_int(jnp.asarray(w), ws[None, :], 0.0, -128, 127)
+        xs, xzp = qparams_affine(jnp.float32(x.min()), jnp.float32(x.max()))
+        xq = quantize_act_shifted(jnp.asarray(x), xs, xzp)
+        out = int8_matmul_xla(
+            xq, wq, x_scale=xs, x_zero_point=xzp, w_scale=ws,
+            w_colsum=jnp.sum(wq.astype(jnp.int32), axis=0), bias=None)
+        ref = x @ w
+        rel = np.abs(np.asarray(out) - ref).mean() / np.abs(ref).mean()
+        assert rel < 0.03, rel
