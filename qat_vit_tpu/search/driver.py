@@ -115,7 +115,7 @@ def run_optuna_search(
         model_parallel=cfg.model_parallel, seed=cfg.seed,
     )
 
-    state = {"teacher_params": None, "shared_steps": None}
+    state = {"teacher_params": None, "shared_steps": None, "teacher_logits": None}
 
     def objective(trial) -> float:
         hp = dict(base_hp)
@@ -131,6 +131,7 @@ def run_optuna_search(
                 hp, data=data, student=student, teacher=teacher,
                 teacher_params=state["teacher_params"],
                 steps=state["shared_steps"],
+                teacher_logits=state["teacher_logits"],
                 seed=cfg.seed + trial.number,  # fresh student per trial (ref :143)
             )
             if state["teacher_params"] is None:
@@ -143,6 +144,8 @@ def run_optuna_search(
                 if epoch >= int(hp["qat_start_epoch"]):
                     trainer.enable_qat()  # ref :179-189
                 tm = trainer.train_epoch(epoch, limit_batches=cfg.limit_train_batches)
+                if state["teacher_logits"] is None:
+                    state["teacher_logits"] = trainer._teacher_logits
                 acc = trainer.evaluate(limit_batches=cfg.limit_eval_batches)
                 best_acc = max(best_acc, acc)
                 run.log_metrics(

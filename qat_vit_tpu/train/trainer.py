@@ -117,6 +117,7 @@ class KDQATTrainer:
         teacher_params: Optional[Any] = None,
         seed: Optional[int] = None,
         steps: Optional[Dict[str, Callable]] = None,
+        teacher_logits: Optional[np.ndarray] = None,
     ):
         self.hp = dict(hparams)
         self.dist = get_dist_info()
@@ -238,7 +239,9 @@ class KDQATTrainer:
         self.eval_step_qat = shared.get("eval_qat") or make_eval_step(
             self.student_qat.apply, qat=True, image_size=image_size
         )
-        self._teacher_logits: Optional[np.ndarray] = None
+        # shareable across search trials: the teacher (and so its logits)
+        # is identical for every trial (ref optuna_search.py:118-120)
+        self._teacher_logits: Optional[np.ndarray] = teacher_logits
 
         # ---- data (reference :210-254) ----
         if data is None:
