@@ -65,6 +65,11 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # Off by default for strict numerics parity.
     "qat_amp": False,
     "progress_bar": False,  # tqdm batch progress (ref qat_trainer.py:323-328)
+    # int8 export with per-output-channel weight scales (accuracy upgrade
+    # over the reference's per-tensor qnnpack scheme; serving cost unchanged)
+    "per_channel_weights": False,
+    # capture a jax.profiler trace of the first QAT epoch into this dir
+    "profile_dir": "",
 }
 
 _TYPES = {k: type(v) for k, v in DEFAULT_HPARAMS.items()}

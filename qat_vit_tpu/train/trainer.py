@@ -463,6 +463,7 @@ class KDQATTrainer:
             jax.device_get(self.state.params),
             jax.device_get(self.state.quant_stats),
             self.student_qat_cfg,
+            per_channel_weights=bool(self.hp.get("per_channel_weights", False)),
         )
 
     def evaluate_int8(self, qparams=None, limit_batches: int = 0) -> float:
@@ -534,10 +535,21 @@ def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
         start_epoch = trainer.load_resume_state(hp["resume"])
         logger.info("resumed from %s at epoch %d", hp["resume"], start_epoch)
 
+    profiled = False
     for epoch in range(start_epoch, epochs):
         if epoch >= qat_start:
             trainer.enable_qat()
-        tm = trainer.train_epoch(epoch, limit_batches=limit_train)
+        if (hp.get("profile_dir") and trainer.qat_enabled and not profiled
+                and dist.is_main_process):
+            # capture one QAT epoch (beyond-reference observability; the
+            # reference has only tqdm + mlflow system metrics, survey §5)
+            from qat_vit_tpu.utils.profiling import trace
+
+            profiled = True
+            with trace(hp["profile_dir"]):
+                tm = trainer.train_epoch(epoch, limit_batches=limit_train or 20)
+        else:
+            tm = trainer.train_epoch(epoch, limit_batches=limit_train)
         barrier("epoch")  # ≙ :366-367
         qat_acc = trainer.evaluate(limit_batches=limit_eval) if dist.is_main_process else 0.0
         quant_acc = qat_acc  # reference aliases until the last epoch (:373)

@@ -104,6 +104,30 @@ def load_metadata(path: str) -> dict:
     return {}
 
 
+def save_checkpoint_orbax(path: str, tree: Dict[str, Any]) -> str:
+    """Optional Orbax backend (async/multi-host-aware saves for large runs).
+
+    The default msgpack path is the portable format every tool here consumes;
+    Orbax is offered for users scaling to slices where per-host sharded saves
+    matter. Requires ``orbax-checkpoint`` (baked into TPU images)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, _to_numpy(tree), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint_orbax(path: str, template: Optional[Dict[str, Any]] = None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), template)
+    return ckptr.restore(os.path.abspath(path))
+
+
 class BestCheckpointer:
     """Best-model selection with the reference's rule (qat_trainer.py:373-388):
     save when the epoch's accuracy improves on the best so far."""

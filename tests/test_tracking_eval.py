@@ -182,3 +182,18 @@ class TestSystemMetrics:
         keys = {m["key"] for m in t.metrics(run.run_id)}
         assert "system/cpu_utilization_percentage" in keys
         assert "system/system_memory_usage_megabytes" in keys
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from qat_vit_tpu.utils.checkpoint import (
+            load_checkpoint_orbax, save_checkpoint_orbax)
+
+        tree = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+                "w_int8": np.arange(-3, 3, dtype=np.int8)}
+        p = str(tmp_path / "orbax_ckpt")
+        save_checkpoint_orbax(p, tree)
+        back = load_checkpoint_orbax(p, tree)
+        np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
+        assert back["w_int8"].dtype == np.int8
