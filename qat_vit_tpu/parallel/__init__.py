@@ -16,6 +16,7 @@ from qat_vit_tpu.parallel.mesh import (
     is_main_process,
     logical_sharding,
     make_mesh,
+    pick_free_port,
     replicated_sharding,
     setup_distributed,
     shard_batch,
@@ -33,6 +34,7 @@ __all__ = [
     "is_main_process",
     "logical_sharding",
     "make_mesh",
+    "pick_free_port",
     "replicated_sharding",
     "setup_distributed",
     "shard_batch",

@@ -85,6 +85,17 @@ def setup_distributed(
     return get_dist_info()
 
 
+def pick_free_port() -> int:
+    """Free TCP port for a manually-launched coordinator (the reference's
+    ddp_utils.py:90-96 helper, used there for env:// rendezvous; here for
+    ``jax.distributed.initialize(coordinator_address=f"host:{port}")``)."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
 def cleanup_distributed() -> None:
     """``cleanup_ddp`` parity (ddp_utils.py:85-87)."""
     try:

@@ -187,12 +187,15 @@ def run_optuna_search(
         pruner = _optuna.pruners.MedianPruner(n_startup_trials=5, n_warmup_steps=1)
         study = _optuna.create_study(direction="maximize", sampler=sampler,
                                      pruner=pruner)
-        study.optimize(objective, n_trials=cfg.trials)
+        # record-and-continue on trial failures: the reference's recorded
+        # study carries 25 FAILED runs alongside finished ones (mlflow.db,
+        # survey §5 failure handling) — a crashed trial must not end the study
+        study.optimize(objective, n_trials=cfg.trials, catch=(Exception,))
         best_params, best_value = dict(study.best_params), study.best_value
     else:
         study = _tpe.create_study(direction="maximize", seed=cfg.seed,
                                   n_startup_trials=5, n_warmup_steps=1)
-        study.optimize(objective, n_trials=cfg.trials)
+        study.optimize(objective, n_trials=cfg.trials, catch=(Exception,))
         best_params, best_value = study.best_params, study.best_value
 
     # best_params.yaml with the trainer-consumable extras (ref :273-280)

@@ -78,3 +78,10 @@ class TestShardings:
     def test_batch_sharding_spec(self):
         mesh = make_mesh(data=4, model=2)
         assert batch_sharding(mesh).spec == P("data")
+
+
+def test_pick_free_port():
+    from qat_vit_tpu.parallel import pick_free_port
+
+    p = pick_free_port()
+    assert 1024 <= p <= 65535

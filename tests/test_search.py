@@ -141,3 +141,25 @@ class TestDriverMicro:
         t = SqliteTracker(cfg.mlflow_uri, cfg.experiment)
         names = {r["name"] for r in t.runs()}
         assert "trial_0000" in names and "optuna_best_summary" in names
+
+
+class TestFailureTolerance:
+    def test_failed_trial_recorded_and_study_continues(self):
+        """A crashing objective must not end the study (reference behavior:
+        25 FAILED runs recorded alongside FINISHED ones, survey §5)."""
+        from qat_vit_tpu.search.tpe import create_study
+
+        study = create_study(seed=0)
+        calls = {"n": 0}
+
+        def objective(trial):
+            calls["n"] += 1
+            x = trial.suggest_float("x", 0, 1)
+            if calls["n"] % 2 == 0:
+                raise RuntimeError("boom")
+            return x
+
+        study.optimize(objective, n_trials=6, catch=(RuntimeError,))
+        states = [t.state for t in study.trials]
+        assert states.count("FAIL") == 3 and states.count("COMPLETE") == 3
+        assert study.best_value is not None
