@@ -163,3 +163,45 @@ class TestFailureTolerance:
         states = [t.state for t in study.trials]
         assert states.count("FAIL") == 3 and states.count("COMPLETE") == 3
         assert study.best_value is not None
+
+
+class TestMultivariateTPE:
+    def test_joint_candidates_generated_from_rows(self):
+        """The joint sampler's candidates derive from good-set ROWS: with a
+        history whose good trials are paired at (2,2)/(8,8) and bad trials at
+        cross-modes, joint samples must respect bounds and mostly stay near
+        the paired diagonal (row bases are paired; per-dim noise loosens it)."""
+        from qat_vit_tpu.search.tpe import FrozenTrial, ParamSpec
+
+        study = Study(direction="maximize",
+                      sampler=TPESampler(seed=0, n_startup_trials=10,
+                                         multivariate=True))
+        rng = np.random.default_rng(0)
+        for i in range(40):
+            if i % 2 == 0:
+                m = rng.choice([2.0, 8.0])
+                x, y, v = m + rng.normal(0, .1), m + rng.normal(0, .1), 0.0
+            else:
+                a = rng.choice([2.0, 8.0])
+                x, y, v = a + rng.normal(0, .1), (10 - a) + rng.normal(0, .1), -50.0
+            study.trials.append(FrozenTrial(
+                number=i, params={"x": float(x), "y": float(y)},
+                value=v, state="COMPLETE"))
+        specs = {"x": ParamSpec("x", 0, 10), "y": ParamSpec("y", 0, 10)}
+        samples = [study.sampler.sample_joint(study, specs) for _ in range(50)]
+        assert all(0 <= s["x"] <= 10 and 0 <= s["y"] <= 10 for s in samples)
+        paired = np.mean([abs(s["x"] - s["y"]) < 4.0 for s in samples])
+        assert paired > 0.5, paired
+
+    def test_joint_deterministic_and_bounded(self):
+        def run():
+            study = Study(sampler=TPESampler(seed=3, multivariate=True),
+                          pruner=MedianPruner())
+            def obj(t):
+                a = t.suggest_float("a", 1e-5, 1e-1, log=True)
+                b = t.suggest_int("b", 0, 5)
+                assert 1e-5 <= a <= 1e-1 and 0 <= b <= 5
+                return a * b
+            study.optimize(obj, n_trials=25)
+            return [(t.params["a"], t.params["b"]) for t in study.trials]
+        assert run() == run()
