@@ -197,3 +197,30 @@ class TestOrbaxBackend:
         back = load_checkpoint_orbax(p, tree)
         np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
         assert back["w_int8"].dtype == np.int8
+
+
+class TestProfilingUtils:
+    def test_step_timer(self):
+        import time as _t
+
+        from qat_vit_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer(warmup=1)
+        for _ in range(4):
+            with timer:
+                _t.sleep(0.01)
+        assert len(timer.times) == 3
+        assert 0.005 < timer.mean < 0.1
+        assert timer.imgs_per_sec(32) > 0
+
+    def test_trace_capture(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from qat_vit_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path)):
+            jnp.ones((8, 8)).sum().block_until_ready()
+        # a profile directory must have been produced
+        produced = list(tmp_path.rglob("*.xplane.pb"))
+        assert produced, list(tmp_path.rglob("*"))
