@@ -224,3 +224,22 @@ class TestProfilingUtils:
         # a profile directory must have been produced
         produced = list(tmp_path.rglob("*.xplane.pb"))
         assert produced, list(tmp_path.rglob("*"))
+
+
+class TestStudyReport:
+    def test_summarize_and_format(self, tmp_path):
+        from qat_vit_tpu.tracking.report import format_report, summarize
+
+        t = SqliteTracker(f"sqlite:///{tmp_path}/m.db", "exp")
+        for i, acc in enumerate([0.3, 0.6]):
+            run = t.start_run(f"trial_{i:04d}")
+            run.log_params({"lr": 1e-4 * (i + 1)})
+            run.log_metric("val_acc_limited", acc, step=0)
+            run.log_metric("val_acc_limited", acc + 0.1, step=1)
+            run.log_metric("train_loss", 2.0 - i, step=1)
+            run.end()
+        s = summarize(f"sqlite:///{tmp_path}/m.db", "exp")
+        assert s["n_runs"] == 2
+        assert abs(s["best_val_acc_limited_overall"] - 0.7) < 1e-9
+        text = format_report(s)
+        assert "trial_0001" in text and "0.7000" in text
