@@ -132,6 +132,18 @@ class KDQATTrainer:
         num_classes = int(self.hp["num_classes"])
         dtype = jnp.bfloat16 if self.hp.get("amp", True) else jnp.float32
 
+        # batch sizes must shard evenly over the mesh's data axis
+        data_size = self.mesh.shape.get("data", 1)
+        for key in ("batch_size", "eval_batch_size"):
+            b = int(self.hp[key])
+            if b % data_size:
+                rounded = -(-b // data_size) * data_size
+                logger.warning(
+                    "%s=%d not divisible by data-axis size %d; rounding up to %d",
+                    key, b, data_size, rounded,
+                )
+                self.hp[key] = rounded
+
         # ---- models (reference qat_trainer.py:257-262) ----
         family = self.hp.get("student_family", "vit")
         self.teacher = teacher if teacher is not None else create_teacher(
