@@ -322,3 +322,45 @@ class TestPerChannelWeights:
         ref = x @ w
         rel = np.abs(np.asarray(out) - ref).mean() / np.abs(ref).mean()
         assert rel < 0.03, rel
+
+
+class TestPTQ:
+    def test_ptq_convert_tracks_float_model(self):
+        """Calibrate-only (no training) int8 export must track the float
+        model's predictions on the calibration distribution."""
+        import flax.linen as nn
+
+        from qat_vit_tpu.serve.calibrate import ptq_convert
+
+        cfg = ViTConfig(num_classes=10, image_size=32, patch_size=8,
+                        embed_dim=128, depth=2, num_heads=2, quant=None)
+        model = VisionTransformer(cfg)
+        rng = np.random.default_rng(21)
+        params = nn.meta.unbox(model.init(
+            jax.random.key(21), jnp.zeros((1, 32, 32, 3)), observe=False))["params"]
+
+        batches = [jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+                   for _ in range(6)]
+        qp = ptq_convert(params, batches, cfg)
+
+        x = jnp.asarray(rng.normal(size=(32, 32, 32, 3)).astype(np.float32))
+        y_float = np.asarray(model.apply({"params": params}, x, observe=False))
+        y_int8 = np.asarray(int8_apply(qp, x, dataclasses.replace(
+            cfg, quant=default_qat_qconfig(), qat_wrapper=True), use_pallas=False))
+        corr = np.corrcoef(y_float.ravel(), y_int8.ravel())[0, 1]
+        assert corr > 0.95, corr
+        agree = (y_float.argmax(-1) == y_int8.argmax(-1)).mean()
+        assert agree >= 0.7, agree
+
+    def test_calibrate_requires_data(self):
+        from qat_vit_tpu.serve.calibrate import calibrate
+
+        cfg = ViTConfig(num_classes=10, image_size=32, patch_size=8,
+                        embed_dim=64, depth=1, num_heads=2)
+        import flax.linen as nn
+
+        model = VisionTransformer(cfg)
+        params = nn.meta.unbox(model.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3)), observe=False))["params"]
+        with pytest.raises(ValueError, match="at least one batch"):
+            calibrate(params, [], cfg)
