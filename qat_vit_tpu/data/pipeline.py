@@ -121,21 +121,45 @@ class ArrayLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer abandoned iteration
+            # (limit_batches early-break) — otherwise the producer blocks on a
+            # full queue forever and the thread + its batch references leak.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in self._batches():
-                    q.put(item)
+                    if not put(item):
+                        return
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # runs on normal exhaustion, early break (GeneratorExit), or error
+            stop.set()
+            while True:  # drain so the producer's pending put can't block
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 # ---------------------------------------------------------------------------

@@ -48,11 +48,14 @@ def fused_quantize_matmul_available(x_shape: Tuple[int, ...], w_shape: Tuple[int
     return True
 
 
-def _kernel(x_ref, w_ref, colsum_ref, bias_ref, qscale_ref, out_ref):
-    """One [TILE_M, N] output tile: quantize → int8 MXU dot → dequant."""
+def _kernel(x_ref, w_ref, colsum_ref, bias_ref, wscale_ref, qscale_ref, out_ref):
+    """One [TILE_M, N] output tile: quantize → int8 MXU dot → dequant.
+
+    ``wscale_ref`` is a [1, N] row — a broadcast scalar for per-tensor weight
+    scales or the per-output-channel vector for per-channel exports (both
+    supported by quant/convert.dense_int8)."""
     s_x = qscale_ref[0, 0]
     zp = qscale_ref[0, 1]  # original uint8 zero point
-    s_w = qscale_ref[0, 2]
     # NB: pl.reciprocal only lowers for vector operands; plain scalar divide
     # is folded into the vector multiply below anyway.
     inv_s = 1.0 / s_x
@@ -63,14 +66,15 @@ def _kernel(x_ref, w_ref, colsum_ref, bias_ref, qscale_ref, out_ref):
     acc = jnp.dot(q8, w_ref[:], preferred_element_type=jnp.int32)
     z_s = zp.astype(jnp.int32) - 128
     acc = acc - z_s * colsum_ref[:]
-    out_ref[:] = acc.astype(jnp.float32) * (s_x * s_w) + bias_ref[:]
+    out_ref[:] = acc.astype(jnp.float32) * (s_x * wscale_ref[:]) + bias_ref[:]
 
 
 @partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def _fused_2d(
     x: jnp.ndarray,  # [M, K] f32
     w_q: jnp.ndarray,  # [K, N] int8
-    qscales: jnp.ndarray,  # [1, 3] f32: (x_scale, x_zp, w_scale)
+    qscales: jnp.ndarray,  # [1, 2] f32: (x_scale, x_zp)
+    w_scale: jnp.ndarray,  # [1, N] f32 (per-channel, or broadcast per-tensor)
     w_colsum: jnp.ndarray,  # [1, N] int32
     bias: jnp.ndarray,  # [1, N] f32
     out_dtype=jnp.float32,
@@ -93,7 +97,8 @@ def _fused_2d(
                 pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
                 (tile_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -105,7 +110,7 @@ def _fused_2d(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w_q, w_colsum, bias, qscales)
+    )(x, w_q, w_colsum, bias, w_scale, qscales)
     if m_pad != m:
         out = out[:m]
     return out.astype(out_dtype)
@@ -132,14 +137,18 @@ def fused_quantize_matmul(
         [
             jnp.asarray(x_scale, jnp.float32).reshape(()),
             jnp.asarray(x_zero_point, jnp.float32).reshape(()),
-            jnp.asarray(w_scale, jnp.float32).reshape(()),
         ]
-    ).reshape(1, 3)
+    ).reshape(1, 2)
+    # per-tensor (scalar) and per-channel ([N]) weight scales both become a
+    # [1, N] row consumed by the kernel epilogue
+    ws = jnp.broadcast_to(
+        jnp.asarray(w_scale, jnp.float32).reshape(1, -1), (1, n)
+    )
     colsum = jnp.asarray(w_colsum, jnp.int32).reshape(1, n)
     b = (
         jnp.zeros((1, n), jnp.float32)
         if bias is None
         else jnp.asarray(bias, jnp.float32).reshape(1, n)
     )
-    out = _fused_2d(x2, w_q, qscales, colsum, b, out_dtype=out_dtype, interpret=interpret)
+    out = _fused_2d(x2, w_q, qscales, ws, colsum, b, out_dtype=out_dtype, interpret=interpret)
     return out.reshape(*lead, n)

@@ -171,6 +171,14 @@ def run_optuna_search(
         except _PrunedSignal:
             raise
         except Exception:
+            # The reference records 25 silent FAILED runs (mlflow.db); keep
+            # the record-and-continue semantics but log the traceback and tag
+            # the run so failures are diagnosable (VERDICT r1 weak-spot 6).
+            import traceback
+
+            logger.exception("trial %d FAILED", trial.number)
+            run.set_tag("optuna_state", "FAILED")
+            run.set_tag("failure_traceback", traceback.format_exc()[-4000:])
             run.end("FAILED")
             raise
 
@@ -198,8 +206,13 @@ def run_optuna_search(
         study.optimize(objective, n_trials=cfg.trials, catch=(Exception,))
         best_params, best_value = study.best_params, study.best_value
 
-    # best_params.yaml with the trainer-consumable extras (ref :273-280)
+    # best_params.yaml with the trainer-consumable extras (ref :273-280).
+    # Emit the temperature under BOTH spellings: ours (kd_temperature) and the
+    # reference's (kd_temp, optuna_search.py:135) so either trainer consumes
+    # the yaml without silently falling back to its default.
     out = dict(best_params)
+    if "kd_temperature" in out:
+        out["kd_temp"] = out["kd_temperature"]
     out["epochs"] = cfg.epochs
     out["batch_size"] = cfg.batch_size
     out["qat_backend"] = cfg.qat_backend

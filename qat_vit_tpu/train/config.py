@@ -74,6 +74,12 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
 
 _TYPES = {k: type(v) for k, v in DEFAULT_HPARAMS.items()}
 
+# Reference key spellings accepted on YAML load (the reference's optuna search
+# and DEFAULT_HPARAMS call the distillation temperature ``kd_temp``,
+# optuna_search.py:135 / qat_trainer.py:40) — a reference-produced
+# best_params.yaml must feed this trainer without silent fallback to defaults.
+_ALIASES = {"kd_temp": "kd_temperature"}
+
 
 def _cast(key: str, value: Any) -> Any:
     """Type-normalize a YAML/CLI value to the default's type (ref :87-96)."""
@@ -99,6 +105,7 @@ def load_hparams(config_path: Optional[str] = None) -> Dict[str, Any]:
             if not isinstance(overlay, dict):
                 raise ValueError(f"config {config_path!r} must be a flat mapping")
             for k, v in overlay.items():
+                k = _ALIASES.get(k, k)
                 hp[k] = _cast(k, v)
         else:
             logger.warning("config %s not found; using defaults", config_path)

@@ -397,8 +397,18 @@ class KDQATTrainer:
     # ------------------------------------------------------------------
     def evaluate(self, limit_batches: int = 0) -> float:
         """Top-1 on the test set with the current (float or fake-quant) model
-        (reference evaluate_fp32, :49-61)."""
+        (reference evaluate_fp32, :49-61).
+
+        Multi-host: EVERY process must call this — the sharded eval step
+        compiles cross-host collectives that all processes enter (the
+        reference's rank-0-only eval works because each DDP rank holds a full
+        model copy; here rank-0-only would deadlock). Each host feeds the full
+        test set, so the assembled global batch holds ``process_count`` exact
+        copies of each example; the returned accuracy divides them back out
+        and is bit-identical to a single-host full-set eval on every process.
+        """
         step_fn = self.eval_step_qat if self.qat_enabled else self.eval_step_float
+        n_copies = self.dist.world_size  # = jax.process_count()
         correct = 0
         total = 0
         for i, batch in enumerate(self.eval_loader):
@@ -410,8 +420,8 @@ class KDQATTrainer:
                 {"image": batch["image"], "label": batch["label"]}, self.mesh
             )
             c = step_fn(self.state.params, self.state.quant_stats, batch)
-            correct += int(c)
-            total += n
+            correct += int(c)  # counts over the global batch (all copies)
+            total += n * n_copies
         return correct / max(total, 1)
 
     # ------------------------------------------------------------------
@@ -563,19 +573,26 @@ def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
         else:
             tm = trainer.train_epoch(epoch, limit_batches=limit_train)
         barrier("epoch")  # ≙ :366-367
-        qat_acc = trainer.evaluate(limit_batches=limit_eval) if dist.is_main_process else 0.0
+        # ALL processes compute eval/convert (the sharded eval step contains
+        # cross-host collectives every process must enter; results are
+        # identical on every rank) — only rank 0 does I/O and logging below.
+        # The reference's rank-0-only eval (qat_trainer.py:370-400) is safe
+        # there because each DDP rank holds a full model copy; here it would
+        # deadlock on process_count()>1.
+        qat_acc = trainer.evaluate(limit_batches=limit_eval)
         quant_acc = qat_acc  # reference aliases until the last epoch (:373)
         last = epoch == epochs - 1
-        if last and trainer.qat_enabled and dist.is_main_process:
+        if last and trainer.qat_enabled:
             qparams = trainer.convert_int8()
             quant_acc = trainer.evaluate_int8(qparams, limit_batches=limit_eval)
             final_quant_acc = quant_acc
-            save_checkpoint(
-                os.path.join(output_dir, "best_converted.msgpack"),
-                qparams,
-                {"epoch": epoch, "quant_acc": quant_acc,
-                 "format": "int8-weights+qparams"},
-            )
+            if dist.is_main_process:
+                save_checkpoint(
+                    os.path.join(output_dir, "best_converted.msgpack"),
+                    qparams,
+                    {"epoch": epoch, "quant_acc": quant_acc,
+                     "format": "int8-weights+qparams"},
+                )
         if dist.is_main_process:
             qs = trainer.state.quant_stats
             improved, _ = best.maybe_save(

@@ -31,16 +31,23 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path: str, tree: Dict[str, Any], metadata: Optional[dict] = None) -> str:
-    """Serialize a pytree (params / quant_stats / int8 export) to msgpack."""
+    """Serialize a pytree (params / quant_stats / int8 export) to msgpack.
+
+    Both the msgpack and its JSON metadata sidecar are published atomically,
+    metadata first: a crash mid-save leaves either the old pair intact or a
+    new sidecar next to the old msgpack — never a new msgpack with stale
+    epoch/qat_enabled metadata (which would resume at the wrong epoch)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     data = serialization.to_bytes(_to_numpy(tree))
+    if metadata is not None:
+        meta_tmp = path + ".json.tmp"
+        with open(meta_tmp, "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+        os.replace(meta_tmp, path + ".json")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)  # atomic publish
-    if metadata is not None:
-        with open(path + ".json", "w") as f:
-            json.dump(metadata, f, indent=2, default=str)
     return path
 
 

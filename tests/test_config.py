@@ -40,6 +40,14 @@ class TestPrecedence:
         assert hp["lr"] == 2e-4  # CLI wins
         assert hp["epochs"] == 20  # yaml survives where CLI silent
 
+    def test_reference_kd_temp_alias(self, tmp_path):
+        """A reference-produced best_params.yaml (key 'kd_temp',
+        optuna_search.py:135) must set our kd_temperature, not be dropped."""
+        cfg = tmp_path / "best_params.yaml"
+        yaml.safe_dump({"kd_temp": 4.43, "lr": 6.53e-5}, cfg.open("w"))
+        hp = load_hparams(str(cfg))
+        assert hp["kd_temperature"] == 4.43
+
     def test_missing_yaml_warns_and_defaults(self, tmp_path, caplog):
         hp = load_hparams(str(tmp_path / "nope.yaml"))
         assert hp["lr"] == DEFAULT_HPARAMS["lr"]

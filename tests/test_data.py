@@ -70,6 +70,30 @@ class TestArrayLoader:
         b1 = [b["label"].copy() for b in loader]
         assert not all(np.array_equal(x, y) for x, y in zip(b0, b1))
 
+    def test_early_break_releases_prefetch_thread(self):
+        """Abandoning iteration (limit_batches) must stop the producer thread
+        — regression for the ADVICE r1 thread/queue leak over long searches."""
+        import threading
+
+        data = synthetic_cifar10(n_train=512, n_test=8, seed=0)
+        loader = ArrayLoader(
+            data["train_images"], data["train_labels"], batch_size=16,
+            seed=0, prefetch=2,
+        )
+        before = threading.active_count()
+        for _ in range(20):  # many abandoned epochs, tiny prefetch queue
+            for i, _b in enumerate(loader):
+                if i >= 1:
+                    break  # consumer walks away with the queue full
+        # producer threads must have exited (join happens in the generator's
+        # finally; allow a small scheduling grace)
+        import time
+
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before + 1
+
     def test_rank_sharding(self):
         data = synthetic_cifar10(n_train=128, n_test=8, seed=0)
         seen = []

@@ -69,8 +69,9 @@ class TestEndToEnd:
         acc_qat = trainer.evaluate(limit_batches=2)
         assert 0.0 <= acc_qat <= 1.0
 
-        # loss should be trending down across the run
-        assert m2["train_loss"] < m0["train_loss"] * 1.5
+        # loss must actually decrease across the run (m0 is the first float
+        # epoch, m2 the second QAT epoch — three epochs of optimization)
+        assert m2["train_loss"] < m0["train_loss"], (m2["train_loss"], m0["train_loss"])
 
         # ---- convert + int8 eval ----
         qparams = trainer.convert_int8()

@@ -94,6 +94,30 @@ class TestInt8Matmul:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-5)
 
+    def test_pallas_kernel_per_channel_weight_scales(self):
+        """Per-channel exports (w_scale is an [N] vector) must go through the
+        fused kernel unchanged — regression for the ADVICE r1 reshape crash."""
+        rng = np.random.default_rng(7)
+        M, K, N = 96, 128, 256
+        x = rng.normal(size=(M, K)).astype(np.float32)
+        w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+        b = rng.normal(size=(N,)).astype(np.float32)
+        xs, xzp = qparams_affine(jnp.float32(x.min()), jnp.float32(x.max()))
+        # per-output-channel symmetric weight quantization
+        ws = jnp.max(jnp.abs(jnp.asarray(w)), axis=0) / 127.0  # [N]
+        wq = jnp.clip(jnp.round(jnp.asarray(w) / ws), -128, 127).astype(jnp.int8)
+        colsum = jnp.sum(wq.astype(jnp.int32), axis=0)
+        xq = quantize_act_shifted(jnp.asarray(x), xs, xzp)
+        ref = int8_matmul_xla(
+            xq, wq, x_scale=xs, x_zero_point=xzp, w_scale=ws,
+            w_colsum=colsum, bias=jnp.asarray(b),
+        )
+        out = fused_quantize_matmul(
+            jnp.asarray(x), wq, x_scale=xs, x_zero_point=xzp, w_scale=ws,
+            w_colsum=colsum, bias=jnp.asarray(b), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-5)
+
     def test_batched_input(self):
         rng = np.random.default_rng(3)
         x = rng.normal(size=(2, 17, 64)).astype(np.float32)
