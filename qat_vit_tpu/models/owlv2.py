@@ -60,6 +60,43 @@ def prune_owlv2_geometry(
     return out
 
 
+def owlv2_vision_vit_kwargs(
+    pruned: bool = False,
+    depth_ratio: float = 0.75,
+    width_ratio: float = 0.75,
+    head_ratio: float = 0.75,
+) -> Dict[str, object]:
+    """ViTConfig kwargs for the OWLv2 *vision tower* as a Flax model.
+
+    The OWLv2 vision encoder is a CLIP-style ViT (HF Owlv2VisionModel:
+    patch-conv without bias, class+position embeddings, pre-encoder LayerNorm,
+    pre-norm blocks with quick-GELU MLP) — exactly our VisionTransformer with
+    ``pre_norm=True, act="quick_gelu", patch_bias=False``. ``pruned=True``
+    applies the reference's student surgery (model_registry.py:282-327:
+    depth/width/head ratios with floors 6/384/6, image forced to 768; the
+    intermediate size is NOT scaled, so the MLP ratio widens accordingly).
+    """
+    geo = (
+        prune_owlv2_geometry(
+            OWLV2_BASE_VISION, depth_ratio, width_ratio, head_ratio
+        )
+        if pruned
+        else dict(OWLV2_BASE_VISION)
+    )
+    return dict(
+        image_size=geo["image_size"],
+        patch_size=geo["patch_size"],
+        embed_dim=geo["hidden_size"],
+        depth=geo["num_hidden_layers"],
+        num_heads=geo["num_attention_heads"],
+        mlp_ratio=geo["intermediate_size"] / geo["hidden_size"],
+        pre_norm=True,
+        act="quick_gelu",
+        patch_bias=False,
+        layer_norm_eps=1e-5,  # CLIP/OWLv2 LN epsilon
+    )
+
+
 def build_owlv2_student_torch(
     depth_ratio: float = 0.75,
     width_ratio: float = 0.75,

@@ -178,13 +178,56 @@ def _create_vit_micro(**kw) -> ModelBundle:
 
 @register_model(
     "owlv2_base_teacher",
+    task="classification",
+    input_size=(3, 960, 960),
+    description="OWLv2-base vision tower (CLIP-style ViT-B/16 @960) as a Flax "
+    "ModelBundle — first-class KD teacher for the trainer/QAT path",
+)
+def _create_owlv2_teacher(**kw) -> ModelBundle:
+    """First-class OWLv2 teacher: the vision tower as a trainable/QAT-able
+    Flax bundle (ref model_registry.py:269-279 builds the torch detection
+    model; the KD+QAT pipeline only ever consumes image→logits, which is the
+    vision tower + head). The full torch detection construction is retained
+    under ``owlv2_base_teacher_torch``."""
+    from qat_vit_tpu.models.owlv2 import owlv2_vision_vit_kwargs
+
+    return _vit_factory(owlv2_vision_vit_kwargs(pruned=False), "owlv2_base_teacher")(**kw)
+
+
+@register_model(
+    "owlv2_student_pruned",
+    task="classification",
+    input_size=(3, 768, 768),
+    description="Pruned OWLv2 vision tower via config surgery (depth/width/"
+    "head ratios, floors 6/384/6) as a Flax ModelBundle — KD+QAT student",
+)
+def _create_owlv2_student(
+    depth_ratio: float = 0.75,
+    width_ratio: float = 0.75,
+    head_ratio: float = 0.75,
+    **kw,
+) -> ModelBundle:
+    """First-class pruned OWLv2 student (surgery semantics of ref :282-327,
+    see models/owlv2.prune_owlv2_geometry); consumable by KDQATTrainer and
+    the int8 convert/serve path."""
+    from qat_vit_tpu.models.owlv2 import owlv2_vision_vit_kwargs
+
+    arch = owlv2_vision_vit_kwargs(
+        pruned=True, depth_ratio=depth_ratio, width_ratio=width_ratio,
+        head_ratio=head_ratio,
+    )
+    return _vit_factory(arch, "owlv2_student_pruned")(**kw)
+
+
+@register_model(
+    "owlv2_base_teacher_torch",
     task="detection",
     input_size=(3, 960, 960),
     tpu_compatible=False,
-    description="OWLv2 detection teacher (requires transformers weights; "
-    "gated — unavailable without network access)",
+    description="Reference-parity torch OWLv2 detection teacher (requires "
+    "transformers; pretrained weights need network or a local HF snapshot)",
 )
-def _create_owlv2_teacher(pretrained: bool = True, local_path: str = None, **kw):
+def _create_owlv2_teacher_torch(pretrained: bool = True, local_path: str = None, **kw):
     """Parity entry for the reference's optional OWLv2 teacher (ref
     model_registry.py:269-279). Pretrained weights need network or a local
     HF snapshot; ``pretrained=False`` constructs from config (random init),
@@ -206,15 +249,16 @@ def _create_owlv2_teacher(pretrained: bool = True, local_path: str = None, **kw)
 
 
 @register_model(
-    "owlv2_student_pruned",
+    "owlv2_student_pruned_torch",
     task="detection",
     input_size=(3, 768, 768),
     tpu_compatible=False,
-    description="Pruned OWLv2 student via config surgery (gated, see teacher)",
+    description="Reference-parity torch pruned OWLv2 student via config "
+    "surgery (gated, see teacher)",
 )
-def _create_owlv2_student(**kw):
-    """Pruned OWLv2 student via config surgery (ref :282-327); fully offline
-    construction — see models/owlv2.py."""
+def _create_owlv2_student_torch(**kw):
+    """Pruned torch OWLv2 student via config surgery (ref :282-327); fully
+    offline construction — see models/owlv2.py."""
     if not _HAS_TRANSFORMERS:
         raise RuntimeError("owlv2 models require the `transformers` package")
     from qat_vit_tpu.models.owlv2 import build_owlv2_student_torch
@@ -286,6 +330,12 @@ def get_model_complexity(name: str) -> Dict[str, Any]:
     bundle = create_model(name) if name in _MODEL_REGISTRY else None
     if bundle is None:
         raise ValueError(f"unknown model {name!r}")
+    if not isinstance(bundle, ModelBundle):
+        raise ValueError(
+            f"model {name!r} constructs an external (torch) module; "
+            "complexity accounting is defined for Flax ModelBundles only — "
+            "use the non-_torch registry entry"
+        )
     cfg = bundle.cfg
     import numpy as np
 

@@ -54,6 +54,12 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     dropout_rate: float = 0.0
     layer_norm_eps: float = 1e-6
+    # CLIP-style options (the OWLv2 vision tower is a CLIP ViT: LayerNorm
+    # after the embeddings, quick-GELU MLP, bias-free patch projection —
+    # HF Owlv2VisionModel geometry; ref model_registry.py:269-327).
+    pre_norm: bool = False  # LN between embeddings and the first block
+    act: str = "gelu"  # MLP activation: "gelu" (timm) or "quick_gelu" (CLIP)
+    patch_bias: bool = True  # timm conv has bias; CLIP's does not
     # None → float model; QConfig → fake-quant QAT model.
     quant: Optional[QConfig] = None
     # Adds the input QuantStub fake-quant site (reference QATWrapper,
@@ -77,7 +83,18 @@ class ViTConfig:
 
     @property
     def mlp_dim(self) -> int:
-        return int(self.embed_dim * self.mlp_ratio)
+        # round, not truncate: non-integer ratios from pruned geometries
+        # (e.g. OWLv2 student 3072/576) must survive the float round-trip
+        return int(round(self.embed_dim * self.mlp_ratio))
+
+
+def apply_act(x: jnp.ndarray, act: str) -> jnp.ndarray:
+    """MLP activation by name; float under QAT (torch leaves both unquantized)."""
+    if act == "gelu":
+        return nn.gelu(x, approximate=False)
+    if act == "quick_gelu":  # CLIP/OWLv2: x * sigmoid(1.702 x)
+        return x * nn.sigmoid(1.702 * x)
+    raise ValueError(f"unknown activation {act!r}")
 
 
 VIT_TINY = dict(embed_dim=192, depth=12, num_heads=3)
@@ -212,6 +229,7 @@ class PatchEmbed(nn.Module):
             features=cfg.embed_dim,
             quant=cfg.quant,
             dtype=cfg.dtype,
+            use_bias=cfg.patch_bias,
             kernel_axes=("patch", EMBED),
             name="proj",
         )(patches, observe=observe)
@@ -273,8 +291,8 @@ class Mlp(nn.Module):
             kernel_axes=(EMBED, HIDDEN),
             name="fc1",
         )(x, observe=observe)
-        # GELU stays float under QAT (torch leaves it unquantized).
-        y = nn.gelu(y, approximate=False)
+        # Activation stays float under QAT (torch leaves it unquantized).
+        y = apply_act(y, cfg.act)
         return QuantDense(
             features=cfg.embed_dim,
             quant=cfg.quant,
@@ -340,6 +358,12 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos.astype(x.dtype)
         x = x.astype(dtype)
+        if cfg.pre_norm:
+            # CLIP-style pre-encoder LayerNorm (OWLv2 vision tower)
+            x = QuantLayerNorm(
+                quant=cfg.quant, eps=cfg.layer_norm_eps, dtype=cfg.dtype,
+                name="norm_pre",
+            )(x, observe=observe)
         for i in range(cfg.depth):
             x = Block(cfg, name=f"blocks_{i}")(x, observe=observe)
         x = QuantLayerNorm(
@@ -366,6 +390,8 @@ def count_fake_quant_sites(cfg: ViTConfig) -> dict:
     weights = 1 + 4 * cfg.depth + 1  # patch conv + (qkv,proj,fc1,fc2)/block + head
     acts = 1 + 4 * cfg.depth + 1  # conv out + dense outs + head out
     acts += 2 * cfg.depth + 1  # ln1/ln2 per block + final norm
+    if cfg.pre_norm:
+        acts += 1  # CLIP-style pre-encoder LN output
     if cfg.qat_wrapper:
         acts += 1  # input QuantStub
     return {"weight": weights, "activation": acts}

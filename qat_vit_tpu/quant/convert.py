@@ -77,6 +77,42 @@ def gelu_transform_qparams(
     return {"scale": scale, "zero_point": zp}
 
 
+def act_output_qparams(
+    min_val: jnp.ndarray, max_val: jnp.ndarray, qcfg: QConfig, act: str = "gelu"
+) -> Dict[str, jnp.ndarray]:
+    """Static qparams for an arbitrary activation's *output* given its input
+    observer range — the generalization of :func:`gelu_transform_qparams` to
+    non-GELU MLPs (quick-GELU for the OWLv2/CLIP vision tower).
+
+    The output range over input [a, b] is bounded by scanning the activation
+    on a dense grid of the interval (runs once at convert time on host; the
+    1025-point grid resolves interior minima like quick-GELU's ≈ −0.28 far
+    below the int8 grid step).
+    """
+    if act == "gelu":
+        return gelu_transform_qparams(min_val, max_val, qcfg)
+
+    import jax
+
+    def quick_gelu(v):
+        return v * jax.nn.sigmoid(1.702 * v)
+
+    fns = {"quick_gelu": quick_gelu}
+    if act not in fns:
+        raise ValueError(f"unknown activation {act!r} for int8 conversion")
+    fn = fns[act]
+    a = jnp.where(jnp.isinf(min_val), 0.0, min_val)
+    b = jnp.where(jnp.isinf(max_val), 0.0, max_val)
+    ts = jnp.linspace(0.0, 1.0, 1025, dtype=jnp.float32)
+    ys = fn(a + (b - a) * ts)
+    lo = jnp.minimum(jnp.min(ys), 0.0)
+    hi = jnp.maximum(jnp.max(ys), 0.0)
+    scale, zp = qparams_affine(
+        lo, hi, qcfg.activation.quant_min, qcfg.activation.quant_max
+    )
+    return {"scale": scale, "zero_point": zp}
+
+
 def dense_int8(
     dense_params: Dict[str, Any],
     dense_stats: Dict[str, Any],
@@ -108,13 +144,15 @@ def dense_int8(
             w, dense_stats["weight_fq"]["min_val"],
             dense_stats["weight_fq"]["max_val"], qcfg,
         )
+    bias = dense_params.get("bias")
     out: Dict[str, Any] = {
         "w_int8": w_q,
         "w_scale": w_scale,
         # per-output-column sums of int8 weights, used to fold the input
         # zero-point out of the int32 accumulator (see ops/quantized_matmul.py)
         "w_colsum": jnp.sum(w_q.astype(jnp.int32), axis=0),
-        "bias": jnp.asarray(dense_params.get("bias")),
+        # bias-free layers (e.g. the CLIP/OWLv2 patch projection) omit the key
+        "bias": jnp.asarray(bias) if bias is not None else None,
     }
     if "act_fq" in dense_stats:
         out["out_q"] = act_qparams(

@@ -30,9 +30,9 @@ import jax.numpy as jnp
 from qat_vit_tpu.models.vit import ViTConfig
 from qat_vit_tpu.ops.quantized_matmul import quantized_dense
 from qat_vit_tpu.quant.convert import (
+    act_output_qparams,
     act_qparams,
     dense_int8,
-    gelu_transform_qparams,
     ln_params,
 )
 from qat_vit_tpu.quant.qconfig import default_qat_qconfig
@@ -73,6 +73,10 @@ def convert_vit(
             "int8 conversion requires the input QuantStub observer "
             "(train with qat_wrapper=True, as the reference does)"
         )
+    if cfg.pre_norm:  # CLIP-style pre-encoder LN (OWLv2 vision tower)
+        out["norm_pre"] = ln_params(
+            params["norm_pre"], quant_stats["norm_pre"], qcfg
+        )
     # blocks keyed by str(i): survives msgpack serialization unchanged
     # (flax msgpack round-trips lists as string-keyed dicts).
     blocks = {}
@@ -86,11 +90,14 @@ def convert_vit(
                 "proj": dense_int8_(p["attn"]["proj"], s["attn"]["proj"], qcfg),
                 "norm2": ln_params(p["norm2"], s["norm2"], qcfg),
                 "fc1": fc1,
-                # static qparams for the fc2 input, derived through the GELU
-                "gelu_q": gelu_transform_qparams(
+                # static qparams for the fc2 input, derived through the MLP
+                # activation (exact GELU transform, or grid-bounded for
+                # quick-GELU — see quant/convert.act_output_qparams)
+                "gelu_q": act_output_qparams(
                     s["mlp"]["fc1"]["act_fq"]["min_val"],
                     s["mlp"]["fc1"]["act_fq"]["max_val"],
                     qcfg,
+                    act=cfg.act,
                 ),
                 "fc2": dense_int8_(p["mlp"]["fc2"], s["mlp"]["fc2"], qcfg),
             }
@@ -149,6 +156,8 @@ def int8_apply(
     B = x.shape[0]
     cls = jnp.broadcast_to(qp["cls_token"].astype(cdt), (B, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1) + qp["pos_embed"].astype(cdt)
+    if cfg.pre_norm:
+        x = _layernorm(x, qp["norm_pre"], eps, cdt)
 
     from qat_vit_tpu.ops.flash_attention import xla_attention_qkv
 
@@ -167,7 +176,11 @@ def int8_apply(
         x = x + qd(o, blk["proj"], blk["qkv"]["out_q"])
         y = _layernorm(x, blk["norm2"], eps, cdt)
         f = qd(y, blk["fc1"], blk["norm2"]["out_q"])
-        f = jax.nn.gelu(f.astype(jnp.float32), approximate=False).astype(cdt)
+        f32 = f.astype(jnp.float32)
+        if cfg.act == "quick_gelu":
+            f = (f32 * jax.nn.sigmoid(1.702 * f32)).astype(cdt)
+        else:
+            f = jax.nn.gelu(f32, approximate=False).astype(cdt)
         x = x + qd(f, blk["fc2"], blk["gelu_q"])
 
     y = _layernorm(x, qp["norm"], eps, jnp.float32)[:, 0]

@@ -219,7 +219,11 @@ class TestRegistry:
         models = list_available_models()
         assert "vit_small_patch16_224_student" in models
         assert "vit_base_patch16_224_teacher" in models
-        assert models["owlv2_base_teacher"]["task"] == "detection"
+        # the first-class owlv2 entries are Flax vision towers (classification
+        # backbones for KD+QAT); the reference-parity torch detection entries
+        # live under the _torch suffix
+        assert models["owlv2_base_teacher"]["task"] == "classification"
+        assert models["owlv2_base_teacher_torch"]["task"] == "detection"
 
     def test_create_student_has_qat_wrapper(self):
         b = create_student("vit")
