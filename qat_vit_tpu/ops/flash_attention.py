@@ -107,6 +107,106 @@ def flash_attention_qkv(
     return out[:, :n, :]
 
 
+def _fused_attention_kernel(qkv_ref, out_ref, *, num_heads, head_dim, scale,
+                            n_valid, block_b):
+    """Masked full-width attention: no lane slicing, no transposes.
+
+    Per-head score/value dots are expressed over the FULL packed width with a
+    per-head lane mask on k (and v): ``q_all @ (k_all ⊙ mask_h)^T`` contracts
+    over all H*HD lanes but only head h's are nonzero — exactly
+    ``q_h @ k_h^T``. Likewise ``p_h @ (v_all ⊙ mask_h)`` lands head h's
+    output in its own lane range, so the per-head results accumulate into the
+    packed output by plain addition. Every slice is 128-aligned (the packed
+    q|k|v thirds), every MXU dot has K = H*HD = 384, and scores/softmax never
+    leave VMEM."""
+    n_pad = qkv_ref.shape[1]
+    d = num_heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
+    key_mask = col < n_valid
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), dimension=1)
+    neg = jnp.float32(-1e30)
+    for b in range(block_b):
+        q_all = qkv_ref[b, :, 0:d] * jnp.asarray(scale, qkv_ref.dtype)
+        k_all = qkv_ref[b, :, d : 2 * d]
+        v_all = qkv_ref[b, :, 2 * d : 3 * d]
+        acc = jnp.zeros((n_pad, d), jnp.float32)
+        for h in range(num_heads):
+            hmask = (lane >= h * head_dim) & (lane < (h + 1) * head_dim)
+            k_h = jnp.where(hmask, k_all, jnp.zeros_like(k_all))
+            scores = jax.lax.dot_general(
+                q_all, k_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.where(key_mask, scores, neg)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+            v_h = jnp.where(hmask, v_all, jnp.zeros_like(v_all))
+            acc = acc + jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+        out_ref[b] = acc.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b", "interpret"))
+def fused_attention_qkv(
+    qkv: jnp.ndarray,  # [B, N, 3*H*HD] — the qkv GEMM output, untransposed
+    num_heads: int,
+    head_dim: int,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused MHA over the packed qkv tensor → [B, N, H*HD].
+
+    The serving default on TPU (see int8_apply ``attn_impl``): scores and
+    softmax stay in VMEM, cutting the XLA einsum path's ~650 MB/block of
+    score-tensor HBM traffic to just the qkv read + output write."""
+    b, n, three_d = qkv.shape
+    d = num_heads * head_dim
+    assert three_d == 3 * d, (three_d, d)
+    n_pad = max(_LANE, -(-n // _LANE) * _LANE)
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    block_b = min(block_b, b)
+    b_pad = -(-b // block_b) * block_b
+    if b_pad != b:
+        qkv = jnp.pad(qkv, ((0, b_pad - b), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        partial(
+            _fused_attention_kernel,
+            num_heads=num_heads,
+            head_dim=head_dim,
+            scale=head_dim**-0.5,
+            n_valid=n,
+            block_b=block_b,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b_pad // block_b,),
+            in_specs=[
+                pl.BlockSpec(
+                    (block_b, n_pad, 3 * d), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_b, n_pad, d), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * num_heads * n_pad * n_pad * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize
+            + b_pad * n_pad * d * qkv.dtype.itemsize,
+            transcendentals=b_pad * num_heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out[:b, :n, :]
+
+
 def xla_attention_qkv(
     qkv: jnp.ndarray, num_heads: int, head_dim: int, softmax_dtype=jnp.float32
 ) -> jnp.ndarray:

@@ -138,6 +138,8 @@ def int8_apply(
     attn_dtype=jnp.float32,
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
+    attn_impl: str = "xla",
+    gelu_approx: bool = False,
 ) -> jnp.ndarray:
     """Int8 serving forward → [B, num_classes] f32 logits. Jittable.
 
@@ -145,6 +147,10 @@ def int8_apply(
     between GEMMs (bf16 recommended for serving: the path is HBM-bound and
     the int8 quantization grid is far coarser than bf16 resolution; LN stats
     and softmax stay f32 internally).
+
+    ``attn_impl``: "xla" (einsum attention, scores materialize in HBM) or
+    "pallas" (fused kernel — scores/softmax stay in VMEM, the dominant HBM
+    traffic of the block disappears; see ops/flash_attention.py).
     """
     h_heads, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
@@ -159,28 +165,50 @@ def int8_apply(
     if cfg.pre_norm:
         x = _layernorm(x, qp["norm_pre"], eps, cdt)
 
-    from qat_vit_tpu.ops.flash_attention import xla_attention_qkv
+    from qat_vit_tpu.ops.flash_attention import (
+        flash_attention_qkv,
+        fused_attention_qkv,
+        xla_attention_qkv,
+    )
+
+    def attention(qkv):
+        if attn_impl == "pallas_fused":
+            return fused_attention_qkv(
+                qkv.astype(attn_dtype), h_heads, hd
+            ).astype(cdt)
+        if attn_impl == "pallas":
+            return flash_attention_qkv(
+                qkv.astype(attn_dtype), h_heads, hd
+            ).astype(cdt)
+        # transpose-free attention over the packed qkv layout (profiled: the
+        # transposed form spends ~65% of the forward in softmax converts +
+        # physical transpose copies; this form removes the copies and keeps
+        # softmax in attn_dtype)
+        return xla_attention_qkv(
+            qkv.astype(attn_dtype), h_heads, hd, softmax_dtype=attn_dtype
+        ).astype(cdt)
 
     for i in range(cfg.depth):
         blk = qp["blocks"][str(i)]
         y = _layernorm(x, blk["norm1"], eps, cdt)
         qkv = qd(y, blk["qkv"], blk["norm1"]["out_q"])
-        # transpose-free attention over the packed qkv layout (profiled: the
-        # transposed form spends ~65% of the forward in softmax converts +
-        # physical transpose copies; this form removes the copies and keeps
-        # softmax in attn_dtype)
-        o = xla_attention_qkv(
-            qkv.astype(attn_dtype), h_heads, hd, softmax_dtype=attn_dtype
-        ).astype(cdt)
+        o = attention(qkv)
         # proj input bounded by the qkv output range (convex combination of v)
         x = x + qd(o, blk["proj"], blk["qkv"]["out_q"])
         y = _layernorm(x, blk["norm2"], eps, cdt)
         f = qd(y, blk["fc1"], blk["norm2"]["out_q"])
-        f32 = f.astype(jnp.float32)
         if cfg.act == "quick_gelu":
+            f32 = f.astype(jnp.float32)
             f = (f32 * jax.nn.sigmoid(1.702 * f32)).astype(cdt)
+        elif gelu_approx:
+            # tanh-approx GELU in the compute dtype: its error (~1e-3 of the
+            # activation range) is far below the int8 grid step of the very
+            # next quantize (~1/255 of the range), and the exact erf in f32
+            # was the single most expensive seam of the forward (serve_bench:
+            # 13.8 ms of a 39 ms batch-256 forward).
+            f = jax.nn.gelu(f, approximate=True)
         else:
-            f = jax.nn.gelu(f32, approximate=False).astype(cdt)
+            f = jax.nn.gelu(f.astype(jnp.float32), approximate=False).astype(cdt)
         x = x + qd(f, blk["fc2"], blk["gelu_q"])
 
     y = _layernorm(x, qp["norm"], eps, jnp.float32)[:, 0]
@@ -190,7 +218,7 @@ def int8_apply(
 
 def make_int8_forward(
     cfg: ViTConfig, *, attn_dtype=jnp.float32, compute_dtype=jnp.float32,
-    use_pallas=None,
+    use_pallas=None, attn_impl: str = "xla", gelu_approx: bool = False,
 ):
     """Jitted serving closure: (qparams, normalized images) → logits."""
 
@@ -199,6 +227,7 @@ def make_int8_forward(
         return int8_apply(
             qp, images, cfg, attn_dtype=attn_dtype,
             compute_dtype=compute_dtype, use_pallas=use_pallas,
+            attn_impl=attn_impl, gelu_approx=gelu_approx,
         )
 
     return fwd

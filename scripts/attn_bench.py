@@ -1,0 +1,82 @@
+"""Attention-implementation microbenchmark (the serving forward's #2 seam).
+
+Measures attention-only time on the serving shape (batch x 197 x ViT-S) for
+the XLA einsum form and Pallas kernel variants, scan-inside-jit methodology.
+Run: python scripts/attn_bench.py [batch]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qat_vit_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from qat_vit_tpu.ops import flash_attention as fa
+
+ITERS = 50
+REPEATS = 3
+N, H, HD = 197, 6, 64
+
+
+def _time_scalar(fn) -> float:
+    float(fn())
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _overhead() -> float:
+    @jax.jit
+    def t(x):
+        return x + 1.0
+
+    return _time_scalar(lambda: t(jnp.zeros(())))
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    print(f"backend={jax.default_backend()} batch={batch} N={N} H={H} HD={HD}")
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(
+        rng.normal(size=(batch, N, 3 * H * HD)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    oh = _overhead()
+
+    ref = np.asarray(fa.xla_attention_qkv(qkv, H, HD).astype(jnp.float32))
+
+    def bench(name, fn):
+        out = np.asarray(fn(qkv).astype(jnp.float32))
+        err = np.abs(out - ref).max()
+
+        @jax.jit
+        def run_n(q):
+            def body(i, acc):
+                return acc + fn(q + jnp.bfloat16(i) * jnp.bfloat16(1e-8)).astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+        dt = (_time_scalar(lambda: run_n(qkv)) - oh) / ITERS
+        print(f"{name:32s} {dt * 1e3:8.3f} ms   max_err={err:.4f}")
+
+    bench("xla_einsum_bf16sm", lambda q: fa.xla_attention_qkv(q, H, HD, softmax_dtype=jnp.bfloat16))
+    bench("xla_einsum_f32sm", lambda q: fa.xla_attention_qkv(q, H, HD, softmax_dtype=jnp.float32))
+    bench("pallas_packed (old)", lambda q: fa.flash_attention_qkv(q, H, HD))
+    if hasattr(fa, "fused_attention_qkv"):
+        bench("pallas_fused (new)", lambda q: fa.fused_attention_qkv(q, H, HD))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Serving-forward ablation benchmark: where do the 39 ms/batch go?
+
+Measures the int8 ViT-S serving forward (batch 256 by default) in variants
+that isolate the inter-GEMM seams (attention impl, LN, GELU, residuals), with
+the scan-inside-jit methodology (see bench.py docstring) that survives the
+tunneled-TPU dispatch. Run: python scripts/serve_bench.py [batch] [variant...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qat_vit_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from qat_vit_tpu.data.pipeline import preprocess
+from qat_vit_tpu.models import create_student
+from qat_vit_tpu.ops.quantized_matmul import quantized_dense
+from qat_vit_tpu.serve.int8_vit import (
+    _layernorm,
+    _extract_patches,
+    convert_vit,
+    int8_apply,
+)
+
+ITERS = 30
+REPEATS = 3
+
+
+def _time_scalar(fn) -> float:
+    float(fn())  # compile
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _overhead() -> float:
+    @jax.jit
+    def t(x):
+        return x + 1.0
+
+    return _time_scalar(lambda: t(jnp.zeros(())))
+
+
+def ablated_apply(qp, images, cfg, *, skip=(), attn_impl="xla"):
+    """int8_apply with named pieces replaced by cheap stand-ins.
+
+    skip ∈ {"attn", "ln", "gelu", "residual", "quant_seams"} — each removes
+    one seam so its cost shows as the delta vs the full forward. Numerics are
+    garbage when skipping; only timing matters.
+    """
+    from qat_vit_tpu.ops.flash_attention import (
+        flash_attention_qkv,
+        xla_attention_qkv,
+    )
+
+    cdt = jnp.bfloat16
+    h_heads, hd = cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+    qd = partial(quantized_dense, use_pallas=False, out_dtype=cdt)
+
+    def ln(x, p):
+        if "ln" in skip:
+            return x
+        return _layernorm(x, p, eps, cdt)
+
+    patches = _extract_patches(images.astype(jnp.float32), cfg.patch_size)
+    x = qd(patches, qp["patch_embed"], qp["input_q"])
+    B = x.shape[0]
+    cls = jnp.broadcast_to(qp["cls_token"].astype(cdt), (B, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1) + qp["pos_embed"].astype(cdt)
+
+    for i in range(cfg.depth):
+        blk = qp["blocks"][str(i)]
+        y = ln(x, blk["norm1"])
+        qkv = qd(y, blk["qkv"], blk["norm1"]["out_q"])
+        if "attn" in skip:
+            o = qkv[..., : h_heads * hd]
+        elif attn_impl == "pallas":
+            o = flash_attention_qkv(qkv, h_heads, hd).astype(cdt)
+        else:
+            o = xla_attention_qkv(qkv, h_heads, hd,
+                                  softmax_dtype=jnp.bfloat16).astype(cdt)
+        p = qd(o, blk["proj"], blk["qkv"]["out_q"])
+        x = p if "residual" in skip else x + p
+        y = ln(x, blk["norm2"])
+        f = qd(y, blk["fc1"], blk["norm2"]["out_q"])
+        if "gelu" not in skip:
+            f32 = f.astype(jnp.float32)
+            f = jax.nn.gelu(f32, approximate=False).astype(cdt)
+        m = qd(f, blk["fc2"], blk["gelu_q"])
+        x = m if "residual" in skip else x + m
+
+    y = _layernorm(x, qp["norm"], eps, jnp.float32)[:, 0]
+    return qd(y, qp["head"], qp["norm"]["out_q"], out_dtype=jnp.float32)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    only = set(sys.argv[2:])
+    print(f"backend={jax.default_backend()} batch={batch} iters={ITERS}")
+
+    student = create_student("vit")
+    variables = nn.meta.unbox(
+        student.module.init(jax.random.key(0), student.example_input(1),
+                            observe=False))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(8, 224, 224, 3)).astype(np.float32))
+    _, mut = student.module.apply(
+        {"params": variables["params"], "quant_stats": variables["quant_stats"]},
+        x0, observe=True, mutable=["quant_stats"],
+    )
+    qp = convert_vit(variables["params"], mut["quant_stats"], student.cfg)
+    imgs = rng.integers(0, 256, (batch, 32, 32, 3), dtype=np.uint8)
+    x = preprocess(jnp.asarray(imgs), size=224)
+    cfg = student.cfg
+    oh = _overhead()
+
+    def bench(name, apply_fn):
+        if only and name not in only:
+            return
+        @jax.jit
+        def run_n(qp, x):
+            def body(i, acc):
+                return acc + apply_fn(qp, x + jnp.float32(i) * 1e-9).sum()
+            return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+        dt = _time_scalar(lambda: run_n(qp, x)) - oh
+        ips = batch * ITERS / dt
+        print(f"{name:28s} {dt / ITERS * 1e3:8.2f} ms/fwd  {ips:9.0f} img/s")
+
+    bench("full_xla (current)", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16))
+    bench("full_pallas_attn", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        attn_impl="pallas"))
+    bench("full_fused_attn", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        attn_impl="pallas_fused"))
+    bench("full_gelu_approx", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        gelu_approx=True))
+    bench("full_fused_attn+gelu", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        attn_impl="pallas_fused", gelu_approx=True))
+    for skip in ("attn", "ln", "gelu", "residual"):
+        bench(f"skip_{skip}", partial(ablated_apply, cfg=cfg, skip=(skip,)))
+    bench("skip_all_seams", partial(
+        ablated_apply, cfg=cfg, skip=("attn", "ln", "gelu", "residual")))
+
+
+if __name__ == "__main__":
+    main()
