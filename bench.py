@@ -148,14 +148,18 @@ def bench_qat_train(cache_teacher: bool = True, qat_dtype=None) -> float:
     return TRAIN_BATCH * TRAIN_STEPS / dt
 
 
-def bench_int8_infer() -> float:
+def bench_int8_infer(preset: bool = True) -> float:
     import jax
     import jax.numpy as jnp
     import flax.linen as nn
 
     from qat_vit_tpu.data.pipeline import preprocess
     from qat_vit_tpu.models import create_student
-    from qat_vit_tpu.serve.int8_vit import convert_vit, int8_apply
+    from qat_vit_tpu.serve.int8_vit import (
+        convert_vit,
+        int8_apply,
+        serving_preset,
+    )
 
     student = create_student("vit")
     variables = nn.meta.unbox(
@@ -172,13 +176,15 @@ def bench_int8_infer() -> float:
     x = preprocess(jnp.asarray(imgs), size=224)
     cfg = student.cfg
 
+    opts = {"attn_dtype": jnp.bfloat16, "compute_dtype": jnp.bfloat16}
+    if preset:
+        opts.update(serving_preset(cfg))
+
     @jax.jit
     def run_n(qp, x):
         def body(i, acc):
             # i-dependent perturbation so the loop body is not hoistable
-            logits = int8_apply(qp, x + jnp.float32(i) * 1e-9, cfg,
-                                attn_dtype=jnp.bfloat16,
-                                compute_dtype=jnp.bfloat16)
+            logits = int8_apply(qp, x + jnp.float32(i) * 1e-9, cfg, **opts)
             return acc + logits.sum()
         return jax.lax.fori_loop(0, INFER_STEPS, body, jnp.zeros((), jnp.float32))
 

@@ -107,59 +107,69 @@ def flash_attention_qkv(
     return out[:, :n, :]
 
 
-def _fused_attention_kernel(qkv_ref, out_ref, *, num_heads, head_dim, scale,
-                            n_valid, block_b):
-    """Masked full-width attention: no lane slicing, no transposes.
+def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
+                            scale, n_valid, block_b, group, quantize):
+    """Group-masked attention: 128-aligned slices only, no transposes.
 
-    Per-head score/value dots are expressed over the FULL packed width with a
-    per-head lane mask on k (and v): ``q_all @ (k_all ⊙ mask_h)^T`` contracts
-    over all H*HD lanes but only head h's are nonzero — exactly
-    ``q_h @ k_h^T``. Likewise ``p_h @ (v_all ⊙ mask_h)`` lands head h's
-    output in its own lane range, so the per-head results accumulate into the
-    packed output by plain addition. Every slice is 128-aligned (the packed
-    q|k|v thirds), every MXU dot has K = H*HD = 384, and scores/softmax never
-    leave VMEM."""
+    Heads are processed in lane GROUPS of ``group = 128 // head_dim`` heads
+    (one 128-lane slab for ViT's head_dim=64): slicing the packed q|k|v
+    thirds at group boundaries is always 128-aligned (no Mosaic relayouts),
+    and within a slab each head's dot masks the sibling heads' lanes on k —
+    ``q_slab @ (k_slab ⊙ mask_h)^T`` contracts the full slab but only head
+    h's lanes are nonzero, which is exactly ``q_h @ k_h^T``. The value side
+    accumulates ``p_h @ (v_slab ⊙ mask_h)`` so each head lands in its own
+    lane range of the packed output. FLOP redundancy is only ``group``×
+    (2× for ViT) on a part of the forward that is overhead-bound, in
+    exchange for full MXU K=128 pipes and zero relayouts. Scores/softmax
+    stay in VMEM; the optional epilogue quantizes the output (the proj GEMM's
+    int8 input, scale/zp in SMEM ``qs_ref``)."""
     n_pad = qkv_ref.shape[1]
     d = num_heads * head_dim
+    gw = group * head_dim  # slab width (=128 for head_dim 64)
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
     key_mask = col < n_valid
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), dimension=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
     neg = jnp.float32(-1e30)
     for b in range(block_b):
-        q_all = qkv_ref[b, :, 0:d] * jnp.asarray(scale, qkv_ref.dtype)
-        k_all = qkv_ref[b, :, d : 2 * d]
-        v_all = qkv_ref[b, :, 2 * d : 3 * d]
-        acc = jnp.zeros((n_pad, d), jnp.float32)
-        for h in range(num_heads):
-            hmask = (lane >= h * head_dim) & (lane < (h + 1) * head_dim)
-            k_h = jnp.where(hmask, k_all, jnp.zeros_like(k_all))
-            scores = jax.lax.dot_general(
-                q_all, k_h,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            scores = jnp.where(key_mask, scores, neg)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
-            v_h = jnp.where(hmask, v_all, jnp.zeros_like(v_all))
-            acc = acc + jnp.dot(p, v_h, preferred_element_type=jnp.float32)
-        out_ref[b] = acc.astype(out_ref.dtype)
+        for g0 in range(0, num_heads, group):
+            base = g0 * head_dim
+            width = min(gw, d - base)
+            q_slab = qkv_ref[b, :, base : base + width]
+            q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
+            k_slab = qkv_ref[b, :, d + base : d + base + width]
+            v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
+            acc = jnp.zeros((n_pad, width), jnp.float32)
+            for hh in range(min(group, num_heads - g0)):
+                hmask = (lane[:, :width] >= hh * head_dim) & (
+                    lane[:, :width] < (hh + 1) * head_dim
+                )
+                k_h = jnp.where(hmask, k_slab, jnp.zeros_like(k_slab))
+                scores = jax.lax.dot_general(
+                    q_slab, k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                scores = jnp.where(key_mask, scores, neg)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                    qkv_ref.dtype
+                )
+                v_h = jnp.where(hmask, v_slab, jnp.zeros_like(v_slab))
+                acc = acc + jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+            if quantize:
+                q8 = jnp.clip(
+                    jnp.round(acc * qs_ref[0, 0] + qs_ref[0, 1]), 0.0, 255.0
+                ) - 128.0
+                out_ref[b, :, base : base + width] = q8.astype(jnp.int8)
+            else:
+                out_ref[b, :, base : base + width] = acc.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b", "interpret"))
-def fused_attention_qkv(
-    qkv: jnp.ndarray,  # [B, N, 3*H*HD] — the qkv GEMM output, untransposed
-    num_heads: int,
-    head_dim: int,
-    block_b: int = 8,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused MHA over the packed qkv tensor → [B, N, H*HD].
-
-    The serving default on TPU (see int8_apply ``attn_impl``): scores and
-    softmax stay in VMEM, cutting the XLA einsum path's ~650 MB/block of
-    score-tensor HBM traffic to just the qkv read + output write."""
+@partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b",
+                                   "quantize", "interpret"))
+def _fused_attention_call(qkv, qs, num_heads, head_dim, block_b, quantize,
+                          interpret):
     b, n, three_d = qkv.shape
     d = num_heads * head_dim
     assert three_d == 3 * d, (three_d, d)
@@ -170,6 +180,7 @@ def fused_attention_qkv(
     b_pad = -(-b // block_b) * block_b
     if b_pad != b:
         qkv = jnp.pad(qkv, ((0, b_pad - b), (0, 0), (0, 0)))
+    group = max(1, _LANE // head_dim) if head_dim <= _LANE else 1
     out = pl.pallas_call(
         partial(
             _fused_attention_kernel,
@@ -178,8 +189,12 @@ def fused_attention_qkv(
             scale=head_dim**-0.5,
             n_valid=n,
             block_b=block_b,
+            group=group,
+            quantize=quantize,
         ),
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b_pad, n_pad, d), jnp.int8 if quantize else qkv.dtype
+        ),
         grid_spec=pl.GridSpec(
             grid=(b_pad // block_b,),
             in_specs=[
@@ -187,6 +202,7 @@ def fused_attention_qkv(
                     (block_b, n_pad, 3 * d), lambda i: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
                 (block_b, n_pad, d), lambda i: (i, 0, 0),
@@ -194,17 +210,45 @@ def fused_attention_qkv(
             ),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b_pad * num_heads * n_pad * n_pad * d,
+            flops=4 * b_pad * num_heads * n_pad * n_pad * head_dim * group,
             bytes_accessed=qkv.size * qkv.dtype.itemsize
-            + b_pad * n_pad * d * qkv.dtype.itemsize,
+            + b_pad * n_pad * d * (1 if quantize else qkv.dtype.itemsize),
             transcendentals=b_pad * num_heads * n_pad * n_pad,
         ),
         interpret=interpret,
-    )(qkv)
+    )(qkv, qs)
     return out[:b, :n, :]
+
+
+def fused_attention_qkv(
+    qkv: jnp.ndarray,  # [B, N, 3*H*HD] — the qkv GEMM output, untransposed
+    num_heads: int,
+    head_dim: int,
+    block_b: int = 4,
+    out_q: dict = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused MHA over the packed qkv tensor → [B, N, H*HD].
+
+    Scores and softmax stay in VMEM, cutting the XLA einsum path's score
+    HBM round-trips to just the qkv read + output write. With ``out_q``
+    the epilogue quantizes the output to shifted int8 (the proj GEMM's
+    input — one less full-tensor pass)."""
+    if out_q is not None:
+        qs = jnp.stack([
+            1.0 / jnp.asarray(out_q["scale"], jnp.float32).reshape(()),
+            jnp.asarray(out_q["zero_point"], jnp.float32).reshape(()),
+        ]).reshape(1, 2)
+        return _fused_attention_call(
+            qkv, qs, num_heads, head_dim, block_b, True, interpret
+        )
+    qs = jnp.zeros((1, 2), jnp.float32)
+    return _fused_attention_call(
+        qkv, qs, num_heads, head_dim, block_b, False, interpret
+    )
 
 
 def xla_attention_qkv(

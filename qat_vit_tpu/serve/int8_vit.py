@@ -140,6 +140,7 @@ def int8_apply(
     use_pallas: Optional[bool] = None,
     attn_impl: str = "xla",
     gelu_approx: bool = False,
+    fused: str = "none",  # "none" | "mixed" | "pallas"
 ) -> jnp.ndarray:
     """Int8 serving forward → [B, num_classes] f32 logits. Jittable.
 
@@ -164,6 +165,11 @@ def int8_apply(
     x = jnp.concatenate([cls, x], axis=1) + qp["pos_embed"].astype(cdt)
     if cfg.pre_norm:
         x = _layernorm(x, qp["norm_pre"], eps, cdt)
+
+    if fused and fused != "none":
+        return _fused_blocks(qp, x, cfg, attn_dtype=attn_dtype,
+                             compute_dtype=cdt, attn_impl=attn_impl,
+                             mode="pallas" if fused is True else fused)
 
     from qat_vit_tpu.ops.flash_attention import (
         flash_attention_qkv,
@@ -216,9 +222,180 @@ def int8_apply(
     return logits.astype(jnp.float32)
 
 
+def _fused_blocks(
+    qp: Dict[str, Any],
+    x: jnp.ndarray,  # [B, N, D] float residual stream after patch embed
+    cfg: ViTConfig,
+    *,
+    attn_dtype=jnp.bfloat16,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "xla",
+    mode: str = "mixed",
+) -> jnp.ndarray:
+    """Fused-kernel transformer stack: activations cross op boundaries as int8.
+
+    ``mode="pallas"``: every GEMM+epilogue is a Pallas kernel
+    (ops/fused_serve.py) — each block's proj and fc2 GEMMs carry their
+    residual add, the following LayerNorm, AND the next GEMM's input
+    quantization in their epilogue: ln_q -> qkv -> attention ->
+    proj(+res,+LN2,+q) -> fc1(+gelu,+q) -> fc2(+res,+LN-next,+q). The last
+    fc2 fuses the FINAL LayerNorm, whose int8 output feeds the head GEMM.
+
+    ``mode="mixed"`` (measured best, scripts/fused_op_bench.py): Pallas
+    kernels only where they beat XLA — the K=384 GEMMs (qkv, proj, fc1+gelu)
+    where Mosaic's int8 dot with a small-K panel outruns XLA's — while fc2
+    (K=1536, where XLA's epilogue/MXU overlap wins) and the elementwise
+    LN/residual/quantize chains stay XLA (which fuses them into single
+    passes). GELU is the tanh approx in both modes (error far below the int8
+    grid step; serve_bench rationale)."""
+    from qat_vit_tpu.ops.flash_attention import (
+        fused_attention_qkv,
+        xla_attention_qkv,
+    )
+    from qat_vit_tpu.ops.fused_serve import (
+        int8_dense,
+        int8_dense_gelu_q,
+        int8_dense_resid_ln_q,
+        ln_quantize,
+    )
+    from qat_vit_tpu.ops.quantized_matmul import quantize_act_shifted
+
+    from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
+
+    h_heads, hd = cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+    cdt = compute_dtype
+    mixed = mode.startswith("mixed")
+    pallas_qkv = mode in ("mixed", "mixed_qkv")
+    pallas_fc1 = mode in ("mixed", "mixed_fc1")
+
+    def xla_dense(x_q, layer, in_q, out_dtype=cdt):
+        return int8_matmul_xla(
+            x_q, layer["w_int8"], x_scale=in_q["scale"],
+            x_zero_point=in_q["zero_point"], w_scale=layer["w_scale"],
+            w_colsum=layer["w_colsum"], bias=layer.get("bias"),
+            out_dtype=out_dtype,
+        )
+
+    def xla_ln_q(y, ln, out_q):
+        """bf16 stream -> LN(f32 stats) -> int8, one XLA elementwise fusion."""
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+        z = (y32 - mean) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
+        return quantize_act_shifted(z, out_q["scale"], out_q["zero_point"])
+
+    blk0 = qp["blocks"]["0"]
+    if mixed:
+        zq = xla_ln_q(x, blk0["norm1"], blk0["norm1"]["out_q"])
+    else:
+        zq = ln_quantize(x, blk0["norm1"], blk0["norm1"]["out_q"], eps=eps)
+    for i in range(cfg.depth):
+        blk = qp["blocks"][str(i)]
+        if mixed and not pallas_qkv:
+            qkv = xla_dense(zq, blk["qkv"], blk["norm1"]["out_q"])
+        else:
+            qkv = int8_dense(zq, blk["qkv"], blk["norm1"]["out_q"],
+                             out_dtype=cdt)
+        # proj input bounded by the qkv output range (convex combination of v)
+        if attn_impl == "pallas_fused":
+            # attention + proj-input quantize in one kernel epilogue
+            o_q = fused_attention_qkv(
+                qkv.astype(attn_dtype), h_heads, hd,
+                out_q=blk["qkv"]["out_q"],
+            )
+        else:
+            o = xla_attention_qkv(
+                qkv.astype(attn_dtype), h_heads, hd, softmax_dtype=attn_dtype
+            ).astype(cdt)
+            o_q = quantize_act_shifted(
+                o, blk["qkv"]["out_q"]["scale"],
+                blk["qkv"]["out_q"]["zero_point"],
+            )
+        nxt = (
+            qp["blocks"][str(i + 1)]["norm1"]
+            if i + 1 < cfg.depth
+            else qp["norm"]
+        )
+        if mixed:
+            if pallas_qkv:
+                p = int8_dense(o_q, blk["proj"], blk["qkv"]["out_q"],
+                               out_dtype=cdt)
+            else:
+                p = xla_dense(o_q, blk["proj"], blk["qkv"]["out_q"])
+            x = x + p
+            zq2 = xla_ln_q(x, blk["norm2"], blk["norm2"]["out_q"])
+            if pallas_fc1:
+                g_q = int8_dense_gelu_q(
+                    zq2, blk["fc1"], blk["norm2"]["out_q"], blk["gelu_q"]
+                )
+            else:
+                f1 = xla_dense(zq2, blk["fc1"], blk["norm2"]["out_q"])
+                g = jax.nn.gelu(f1, approximate=True)
+                g_q = quantize_act_shifted(
+                    g, blk["gelu_q"]["scale"], blk["gelu_q"]["zero_point"]
+                )
+            f = xla_dense(g_q, blk["fc2"], blk["gelu_q"], out_dtype=cdt)
+            x = x + f
+            zq = xla_ln_q(x, nxt, nxt["out_q"])
+        else:
+            x, zq2 = int8_dense_resid_ln_q(
+                o_q, blk["proj"], blk["qkv"]["out_q"], x,
+                blk["norm2"], blk["norm2"]["out_q"], eps=eps, out_dtype=cdt,
+            )
+            g_q = int8_dense_gelu_q(
+                zq2, blk["fc1"], blk["norm2"]["out_q"], blk["gelu_q"]
+            )
+            # the fc2 epilogue carries the NEXT LayerNorm (block i+1's
+            # norm1, or the final norm on the last block) and its input
+            # quantization
+            x, zq = int8_dense_resid_ln_q(
+                g_q, blk["fc2"], blk["gelu_q"], x,
+                nxt, nxt["out_q"], eps=eps, out_dtype=cdt,
+            )
+
+    # head GEMM on the cls token (N=num_classes is lane-unaligned -> XLA path)
+    hq = qp["norm"]["out_q"]
+    logits = int8_matmul_xla(
+        zq[:, 0],
+        qp["head"]["w_int8"],
+        x_scale=hq["scale"],
+        x_zero_point=hq["zero_point"],
+        w_scale=qp["head"]["w_scale"],
+        w_colsum=qp["head"]["w_colsum"],
+        bias=qp["head"].get("bias"),
+        out_dtype=jnp.float32,
+    )
+    return logits.astype(jnp.float32)
+
+
+def serving_preset(cfg: ViTConfig) -> Dict[str, Any]:
+    """Measured-best serving options for the current backend.
+
+    On TPU (scripts/serve_bench.py, batch 256 ViT-S): bf16 residual stream,
+    tanh-approx GELU, the restructured int8-handoff block chain
+    (``fused="mixed_none"``), and the fused Pallas attention kernel with its
+    proj-input quantize epilogue — 6,557 → 10,514 img/s over the round-1
+    path. Elsewhere (CPU tests, interpret mode): the exact defaults.
+    Accuracy: every option is validated against the exact path (argmax
+    agreement on micro models in tests/test_fused_serve.py; full-scale int8
+    top-1 cross-check in scripts/accuracy_loop.py).
+    """
+    if jax.default_backend() != "tpu":
+        return {}
+    return {
+        "attn_dtype": jnp.bfloat16,
+        "compute_dtype": jnp.bfloat16,
+        "gelu_approx": True,
+        "fused": "mixed_none",
+        "attn_impl": "pallas_fused",
+    }
+
+
 def make_int8_forward(
     cfg: ViTConfig, *, attn_dtype=jnp.float32, compute_dtype=jnp.float32,
     use_pallas=None, attn_impl: str = "xla", gelu_approx: bool = False,
+    fused: bool = False,
 ):
     """Jitted serving closure: (qparams, normalized images) → logits."""
 
@@ -227,7 +404,7 @@ def make_int8_forward(
         return int8_apply(
             qp, images, cfg, attn_dtype=attn_dtype,
             compute_dtype=compute_dtype, use_pallas=use_pallas,
-            attn_impl=attn_impl, gelu_approx=gelu_approx,
+            attn_impl=attn_impl, gelu_approx=gelu_approx, fused=fused,
         )
 
     return fwd

@@ -35,16 +35,23 @@ class Int8Predictor:
     batch_size: int = 256
     compute_dtype: Any = jnp.bfloat16
     attn_dtype: Any = jnp.bfloat16
+    preset: bool = True  # measured-best serving options (serving_preset)
 
     def __post_init__(self):
+        from qat_vit_tpu.serve.int8_vit import serving_preset
+
         prep = preprocess_fn(self.cfg.image_size)
         cfg = self.cfg
-        cdt, adt = self.compute_dtype, self.attn_dtype
+        opts: Dict[str, Any] = {
+            "attn_dtype": self.attn_dtype, "compute_dtype": self.compute_dtype,
+        }
+        if self.preset:
+            opts.update(serving_preset(cfg))
 
         @jax.jit
         def fwd(qp, images_u8):
             x = prep(images_u8)
-            return int8_apply(qp, x, cfg, attn_dtype=adt, compute_dtype=cdt)
+            return int8_apply(qp, x, cfg, **opts)
 
         self._fwd = fwd
         self.qparams = jax.device_put(self.qparams)

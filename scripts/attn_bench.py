@@ -72,10 +72,12 @@ def main():
         print(f"{name:32s} {dt * 1e3:8.3f} ms   max_err={err:.4f}")
 
     bench("xla_einsum_bf16sm", lambda q: fa.xla_attention_qkv(q, H, HD, softmax_dtype=jnp.bfloat16))
-    bench("xla_einsum_f32sm", lambda q: fa.xla_attention_qkv(q, H, HD, softmax_dtype=jnp.float32))
     bench("pallas_packed (old)", lambda q: fa.flash_attention_qkv(q, H, HD))
-    if hasattr(fa, "fused_attention_qkv"):
-        bench("pallas_fused (new)", lambda q: fa.fused_attention_qkv(q, H, HD))
+    for bb in (1, 2, 4, 8):  # 16 exceeds the ~16MB VMEM budget (measured)
+        bench(f"pallas_v3 bb={bb}", lambda q, b=bb: fa.fused_attention_qkv(q, H, HD, block_b=b))
+    oq = {"scale": jnp.float32(0.01), "zero_point": jnp.float32(128.0)}
+    bench("pallas_v3 bb=4 +quant", lambda q: fa.fused_attention_qkv(
+        q, H, HD, block_b=4, out_q=oq).astype(jnp.bfloat16))
 
 
 if __name__ == "__main__":

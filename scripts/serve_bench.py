@@ -57,7 +57,8 @@ def _overhead() -> float:
     return _time_scalar(lambda: t(jnp.zeros(())))
 
 
-def ablated_apply(qp, images, cfg, *, skip=(), attn_impl="xla"):
+def ablated_apply(qp, images, cfg, *, skip=(), attn_impl="xla",
+                  gelu_approx=False):
     """int8_apply with named pieces replaced by cheap stand-ins.
 
     skip ∈ {"attn", "ln", "gelu", "residual", "quant_seams"} — each removes
@@ -101,8 +102,11 @@ def ablated_apply(qp, images, cfg, *, skip=(), attn_impl="xla"):
         y = ln(x, blk["norm2"])
         f = qd(y, blk["fc1"], blk["norm2"]["out_q"])
         if "gelu" not in skip:
-            f32 = f.astype(jnp.float32)
-            f = jax.nn.gelu(f32, approximate=False).astype(cdt)
+            if gelu_approx:
+                f = jax.nn.gelu(f, approximate=True)
+            else:
+                f32 = f.astype(jnp.float32)
+                f = jax.nn.gelu(f32, approximate=False).astype(cdt)
         m = qd(f, blk["fc2"], blk["gelu_q"])
         x = m if "residual" in skip else x + m
 
@@ -158,6 +162,28 @@ def main():
     bench("full_fused_attn+gelu", lambda qp, x: int8_apply(
         qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
         attn_impl="pallas_fused", gelu_approx=True))
+    bench("fused_pipeline", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        fused="pallas"))
+    bench("fused_pipeline+pallas_attn", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        fused="pallas", attn_impl="pallas_fused"))
+    bench("mixed_pipeline", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        fused="mixed"))
+    bench("mixed+pallas_attn", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        fused="mixed", attn_impl="pallas_fused"))
+    for mode in ("mixed_qkv", "mixed_fc1", "mixed_none"):
+        bench(mode, lambda qp, x, m=mode: int8_apply(
+            qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+            fused=m))
+    bench("mixed_none+pallas_attn", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        fused="mixed_none", attn_impl="pallas_fused"))
+    for skip in ("attn", "gelu", "residual"):
+        bench(f"approx_skip_{skip}", partial(
+            ablated_apply, cfg=cfg, skip=(skip,), gelu_approx=True))
     for skip in ("attn", "ln", "gelu", "residual"):
         bench(f"skip_{skip}", partial(ablated_apply, cfg=cfg, skip=(skip,)))
     bench("skip_all_seams", partial(

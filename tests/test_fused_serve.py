@@ -1,0 +1,168 @@
+"""Fused serving kernels (ops/fused_serve.py) vs their XLA compositions.
+
+Each GEMM+epilogue kernel must match the exact-math XLA op sequence
+bit-for-bit (int8 outputs) / to float tolerance (float outputs), and the
+fused block pipeline must reproduce the unfused serving forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental.pallas import tpu as pltpu
+
+from qat_vit_tpu.ops import fused_serve as fs
+from qat_vit_tpu.ops.quantized_matmul import (
+    int8_matmul_xla,
+    quantize_act_shifted,
+)
+
+M, K, N = 300, 384, 512  # non-multiple M exercises row padding
+
+
+@pytest.fixture(scope="module")
+def gemm_case():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    in_q = {"scale": jnp.float32(0.05), "zero_point": jnp.float32(120.0)}
+    x_q = quantize_act_shifted(jnp.asarray(x), in_q["scale"], in_q["zero_point"])
+    wq = jnp.asarray(
+        np.clip(np.round(rng.normal(size=(K, N)) * 20), -128, 127).astype(np.int8)
+    )
+    layer = {
+        "w_int8": wq,
+        "w_colsum": jnp.sum(wq.astype(jnp.int32), axis=0),
+        "bias": jnp.asarray(rng.normal(size=(N,)).astype(np.float32)),
+        "w_scale": jnp.float32(0.002),
+    }
+    ref = int8_matmul_xla(
+        x_q, wq, x_scale=in_q["scale"], x_zero_point=in_q["zero_point"],
+        w_scale=layer["w_scale"], w_colsum=layer["w_colsum"],
+        bias=layer["bias"],
+    )
+    return x_q, layer, in_q, ref
+
+
+class TestFusedDense:
+    def test_plain_matches_xla(self, gemm_case):
+        x_q, layer, in_q, ref = gemm_case
+        out = fs.int8_dense(
+            x_q, layer, in_q, out_dtype=jnp.float32, tile_m=256, interpret=True
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+    def test_gelu_q_bitexact(self, gemm_case):
+        x_q, layer, in_q, ref = gemm_case
+        out_q = {"scale": jnp.float32(0.09), "zero_point": jnp.float32(3.0)}
+        want = quantize_act_shifted(
+            jax.nn.gelu(ref, approximate=True),
+            out_q["scale"], out_q["zero_point"],
+        )
+        got = fs.int8_dense_gelu_q(
+            x_q, layer, in_q, out_q, tile_m=256, interpret=True
+        )
+        assert (np.asarray(got) == np.asarray(want)).all()
+
+    def test_resid_ln_q_matches(self, gemm_case):
+        x_q, layer, in_q, ref = gemm_case
+        rng = np.random.default_rng(1)
+        res = jnp.asarray(rng.normal(size=(M, N)).astype(np.float32))
+        ln = {
+            "scale": jnp.asarray(rng.normal(size=(N,)).astype(np.float32)),
+            "bias": jnp.asarray(rng.normal(size=(N,)).astype(np.float32)),
+        }
+        lq = {"scale": jnp.float32(0.02), "zero_point": jnp.float32(128.0)}
+        y_ref = ref + res
+        mean = y_ref.mean(-1, keepdims=True)
+        var = ((y_ref - mean) ** 2).mean(-1, keepdims=True)
+        z = (y_ref - mean) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+        zq_ref = quantize_act_shifted(z, lq["scale"], lq["zero_point"])
+        y, zq = fs.int8_dense_resid_ln_q(
+            x_q, layer, in_q, res, ln, lq,
+            out_dtype=jnp.float32, tile_m=256, interpret=True,
+        )
+        np.testing.assert_allclose(y, y_ref, rtol=1e-6, atol=1e-5)
+        # LN->round can straddle a rounding boundary at f32 noise level on a
+        # handful of elements; require near-total agreement
+        assert (np.asarray(zq) == np.asarray(zq_ref)).mean() > 0.9999
+
+    def test_ln_quantize_matches(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(M, N)).astype(np.float32))
+        ln = {
+            "scale": jnp.asarray(rng.normal(size=(N,)).astype(np.float32)),
+            "bias": jnp.asarray(rng.normal(size=(N,)).astype(np.float32)),
+        }
+        lq = {"scale": jnp.float32(0.02), "zero_point": jnp.float32(100.0)}
+        mean = x.mean(-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(-1, keepdims=True)
+        z = (x - mean) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+        want = quantize_act_shifted(z, lq["scale"], lq["zero_point"])
+        got = fs.ln_quantize(x, ln, lq, tile_m=256, interpret=True)
+        assert (np.asarray(got) == np.asarray(want)).mean() > 0.9999
+
+    def test_per_channel_weight_scales(self, gemm_case):
+        x_q, layer, in_q, _ = gemm_case
+        layer = dict(layer)
+        rng = np.random.default_rng(3)
+        layer["w_scale"] = jnp.asarray(
+            rng.uniform(0.001, 0.003, N).astype(np.float32)
+        )
+        ref = int8_matmul_xla(
+            x_q, layer["w_int8"], x_scale=in_q["scale"],
+            x_zero_point=in_q["zero_point"], w_scale=layer["w_scale"],
+            w_colsum=layer["w_colsum"], bias=layer["bias"],
+        )
+        out = fs.int8_dense(
+            x_q, layer, in_q, out_dtype=jnp.float32, tile_m=256, interpret=True
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+
+class TestFusedPipeline:
+    def test_fused_forward_matches_unfused(self):
+        import flax.linen as nn
+
+        from qat_vit_tpu.models.registry import create_model
+        from qat_vit_tpu.serve.int8_vit import convert_vit, int8_apply
+
+        m = create_model("vit_micro_test", qat_wrapper=True)
+        rng = np.random.default_rng(0)
+        v = nn.meta.unbox(
+            m.module.init(jax.random.key(0), m.example_input(1), observe=False)
+        )
+        x = jnp.asarray(
+            rng.normal(size=(8,) + m.example_input(1).shape[1:]).astype(np.float32)
+        )
+        _, mut = m.module.apply(
+            {"params": v["params"], "quant_stats": v["quant_stats"]},
+            x, observe=True, mutable=["quant_stats"],
+        )
+        qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
+        base = int8_apply(qp, x, m.cfg, gelu_approx=True)
+        with pltpu.force_tpu_interpret_mode():
+            fused = int8_apply(qp, x, m.cfg, fused=True)
+        assert (base.argmax(-1) == fused.argmax(-1)).all()
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(base), rtol=0.02, atol=0.02
+        )
+
+
+class TestFusedAttention:
+    def test_matches_xla_einsum(self):
+        from qat_vit_tpu.ops.flash_attention import (
+            fused_attention_qkv,
+            xla_attention_qkv,
+        )
+
+        rng = np.random.default_rng(0)
+        qkv = jnp.asarray(
+            rng.normal(size=(5, 197, 3 * 6 * 64)).astype(np.float32) * 0.3
+        )
+        ref = xla_attention_qkv(qkv, 6, 64)
+        out = fused_attention_qkv(qkv, 6, 64, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
