@@ -67,6 +67,9 @@ class SearchConfig:
     student_family: str = "vit"
     model_parallel: int = 1
     micro: bool = False  # micro models for CI/smoke
+    # pretrained teacher weights (scripts/pretrain_teacher.py output); ""
+    # keeps the random-init teacher (the reference's HF download needs network)
+    teacher_ckpt: str = ""
 
 
 def suggest_hparams(trial, cfg: SearchConfig) -> Dict[str, Any]:
@@ -113,6 +116,7 @@ def run_optuna_search(
         eval_batch_size=cfg.eval_batch_size, image_size=image_size,
         num_classes=cfg.num_classes, qat_backend=cfg.qat_backend,
         model_parallel=cfg.model_parallel, seed=cfg.seed,
+        teacher_ckpt=cfg.teacher_ckpt,
     )
 
     state = {"teacher_params": None, "shared_steps": None, "teacher_logits": None}

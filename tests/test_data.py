@@ -174,6 +174,48 @@ class TestCifarSources:
         acc = (d.argmin(1) == labels).mean()
         assert acc > 0.5, acc
 
+    def test_synthetic_hard_structure(self):
+        """The hard variant (full-scale accuracy runs): deterministic, the
+        right shapes/dtypes, NOT pixel-linearly separable (random circular
+        shifts kill template matching), but learnable via shift-invariant
+        features (FFT magnitudes)."""
+        from qat_vit_tpu.data.cifar10 import synthetic_cifar10_hard
+
+        data = synthetic_cifar10_hard(n_train=2048, n_test=512, seed=0)
+        data2 = synthetic_cifar10_hard(n_train=2048, n_test=512, seed=0)
+        assert (data["train_images"] == data2["train_images"]).all()
+        assert data["train_images"].shape == (2048, 32, 32, 3)
+        assert data["train_images"].dtype == np.uint8
+
+        # nearest-mean-template in pixel space must be ~chance
+        imgs = data["test_images"].astype(np.float32)
+        labels = data["test_labels"]
+        protos = np.stack([
+            data["train_images"][data["train_labels"] == c]
+            .astype(np.float32).mean(0)
+            for c in range(10)
+        ])
+        d = ((imgs[:, None] - protos[None]) ** 2).sum((2, 3, 4))
+        pixel_acc = (d.argmin(1) == labels).mean()
+        # not exactly chance: non-axis-aligned gratings under integer pixel
+        # shifts leave a small phase-mean leak in the class prototypes
+        # (measured ~0.31 at this n) — still far from separable (>0.9)
+        assert pixel_acc < 0.4, pixel_acc
+
+        # nearest-mean in FFT-magnitude space must beat chance by a wide
+        # margin (the shift-invariant class identity)
+        def feats(x):
+            f = np.abs(np.fft.fft2(x.astype(np.float32) / 255.0, axes=(1, 2)))
+            return f.reshape(len(x), -1)
+        tf = feats(data["train_images"])
+        protos_f = np.stack([
+            tf[data["train_labels"] == c].mean(0) for c in range(10)
+        ])
+        ef = feats(data["test_images"])
+        d = ((ef[:, None] - protos_f[None]) ** 2).sum(-1)
+        fft_acc = (d.argmin(1) == labels).mean()
+        assert fft_acc > 0.5, fft_acc
+
     def test_load_cifar10_fallback(self, tmp_path):
         data, source = load_cifar10(str(tmp_path), allow_synthetic=True)
         assert source == "synthetic"

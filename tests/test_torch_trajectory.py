@@ -131,6 +131,68 @@ class TestQATTrajectory:
         # fake-quant train steps (26 sites, EMA observers, STE backward)
         np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3, atol=2e-3)
 
+    def test_bf16_qat_trajectory_tracks_torch(self, trajectory_pair):
+        """The opt-in ``qat_amp`` step (bf16 matmuls under fake-quant,
+        train/config.py) must follow the same optimization trajectory as
+        torch's f32 eager QAT: fake-quant rounding (int8 grid) dominates bf16
+        rounding (~3 decimal digits), so the loss curves may only drift by
+        bf16 noise, not diverge. This is the numeric half of the qat_amp
+        evidence; the accuracy half is the full-scale run
+        (scripts/accuracy_loop.py, qat_amp variant)."""
+        tqat, cfg, params = trajectory_pair
+        model = VisionTransformer(dataclasses.replace(cfg, dtype=jnp.bfloat16))
+        qs = init_quant_stats(model, cfg)
+
+        rng = np.random.default_rng(0)
+        batches = [
+            (rng.normal(size=(8, 32, 32, 3)).astype(np.float32),
+             rng.integers(0, 10, 8).astype(np.int64))
+            for _ in range(STEPS)
+        ]
+
+        import copy
+
+        tq = copy.deepcopy(tqat)
+        opt = torch.optim.SGD(tq.parameters(), lr=LR)
+        t_losses = []
+        for x, y in batches:
+            opt.zero_grad()
+            logits = tq(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            loss = torch.nn.functional.cross_entropy(
+                logits, torch.from_numpy(y), label_smoothing=LS)
+            loss.backward()
+            opt.step()
+            t_losses.append(loss.item())
+
+        import optax
+
+        tx = optax.sgd(LR)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, qs, x, y):
+            def loss_fn(p):
+                logits, mut = model.apply(
+                    {"params": p, "quant_stats": qs}, x, observe=True,
+                    mutable=["quant_stats"])
+                return cross_entropy(logits, y, LS), mut["quant_stats"]
+
+            (loss, new_qs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt, new_qs, loss
+
+        j_losses = []
+        p = params
+        for x, y in batches:
+            p, opt_state, qs, loss = step(
+                p, opt_state, qs, jnp.asarray(x), jnp.asarray(y.astype(np.int32)))
+            j_losses.append(float(loss))
+
+        # bf16 tolerance: ~3 decimal digits of matmul precision accumulated
+        # over 6 steps; the f32 trajectory test above holds 2e-3
+        np.testing.assert_allclose(j_losses, t_losses, rtol=0.02, atol=0.02)
+
     def test_observer_state_matches_torch_after_training(self):
         """Spot-check: the input QuantStub's running min/max trajectory
         through our full model forward equals a standalone torch stub fed the
