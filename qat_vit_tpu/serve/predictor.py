@@ -10,11 +10,12 @@ boundary carries raw uint8 pixels only.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Iterator
+from typing import Any, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qat_vit_tpu.data.pipeline import preprocess_fn
 from qat_vit_tpu.models.vit import ViTConfig
@@ -36,6 +37,12 @@ class Int8Predictor:
     compute_dtype: Any = jnp.bfloat16
     attn_dtype: Any = jnp.bfloat16
     preset: bool = True  # measured-best serving options (serving_preset)
+    # data-parallel serving over a device mesh: the batch is sharded over
+    # the mesh's first axis, qparams replicated — XLA compiles one SPMD
+    # program per chip with zero inter-chip collectives in the forward
+    # (the TPU-native counterpart of replica-per-GPU serving). batch_size
+    # must divide by the axis size.
+    mesh: Optional[Mesh] = None
 
     def __post_init__(self):
         from qat_vit_tpu.serve.int8_vit import serving_preset
@@ -48,13 +55,27 @@ class Int8Predictor:
         if self.preset:
             opts.update(serving_preset(cfg))
 
-        @jax.jit
-        def fwd(qp, images_u8):
+        def apply(qp, images_u8):
             x = prep(images_u8)
             return int8_apply(qp, x, cfg, **opts)
 
-        self._fwd = fwd
-        self.qparams = jax.device_put(self.qparams)
+        if self.mesh is not None:
+            axis = self.mesh.axis_names[0]
+            n_dev = self.mesh.devices.size
+            if self.batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"{n_dev}-device serving mesh"
+                )
+            repl = NamedSharding(self.mesh, P())
+            shard = NamedSharding(self.mesh, P(axis))
+            self._fwd = jax.jit(
+                apply, in_shardings=(repl, shard), out_shardings=shard
+            )
+            self.qparams = jax.device_put(self.qparams, repl)
+        else:
+            self._fwd = jax.jit(apply)
+            self.qparams = jax.device_put(self.qparams)
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: ViTConfig, **kw) -> "Int8Predictor":

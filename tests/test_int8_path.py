@@ -247,6 +247,32 @@ class TestConvertAndServe:
         outs = list(pred.serve_stream(iter([imgs[:16], imgs[16:32]])))
         assert len(outs) == 2 and outs[0].shape == (16, 10)
 
+    def test_predictor_mesh_serving(self, tmp_path):
+        """Data-parallel serving mesh: sharded logits == single-device
+        logits exactly (qparams replicated, batch sharded, no collectives)."""
+        import flax.linen as nn
+        from jax.sharding import Mesh
+
+        from qat_vit_tpu.serve import Int8Predictor
+        from qat_vit_tpu.utils.checkpoint import save_checkpoint
+
+        model, cfg, params, qs = _trained_micro_qat(seed=4)
+        qp = convert_vit(nn.meta.unbox(params), qs, cfg)
+        path = str(tmp_path / "export.msgpack")
+        save_checkpoint(path, qp)
+        imgs = np.random.default_rng(1).integers(
+            0, 256, (32, 32, 32, 3), dtype=np.uint8)
+
+        single = Int8Predictor.from_checkpoint(path, cfg, batch_size=16)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+        sharded = Int8Predictor.from_checkpoint(
+            path, cfg, batch_size=16, mesh=mesh)
+        np.testing.assert_array_equal(
+            single.logits(imgs), sharded.logits(imgs))
+
+        with pytest.raises(ValueError, match="not divisible"):
+            Int8Predictor.from_checkpoint(path, cfg, batch_size=13, mesh=mesh)
+
     def test_dense_int8_colsum(self):
         rng = np.random.default_rng(5)
         w = rng.normal(size=(16, 32)).astype(np.float32)
