@@ -1,0 +1,316 @@
+"""Whole-transformer-block Pallas kernel for int8 serving ("megablock").
+
+The measured limit of the composed serving path (docs/BENCHMARKS.md, round 2)
+is the HBM traffic *between* fused ops: even with every seam fused, each of
+qkv-out / attention-out / proj-out / fc1-out / fc2-out crosses HBM once per
+block, and each Pallas↔XLA boundary costs layout/serialization overhead.
+This kernel runs the ENTIRE ViT block — qkv GEMM → multi-head attention →
+proj (+residual, +LN2, +quantize) → fc1 (+GELU, +quantize) → fc2 (+residual,
++next-block LN1, +quantize) — in one grid program per batch tile, so per
+block the only HBM traffic is:
+
+    read  zq   int8  [B, N, D]   (this block's LN1 output, quantized)
+    read  x    bf16  [B, N, D]   (the residual stream)
+    read  weights    (~1.8 MB, all four GEMMs int8)
+    write x'   bf16  [B, N, D]
+    write zq'  int8  [B, N, D]   (the NEXT block's GEMM input)
+
+and consecutive blocks chain custom-call→custom-call with no XLA ops (and
+hence no layout conversions) in between. Replaces the QNNPACK role
+(reference src/training/qat_trainer.py:293) with a schedule shaped by the
+TPU memory hierarchy: weights stay resident in VMEM across the batch tile,
+scores/softmax never leave VMEM (attention uses the group-masked scheme of
+ops/flash_attention.py), activations move as int8 wherever a GEMM consumes
+them.
+
+Numerics: GEMMs accumulate int8×int8→int32 on the MXU; dequant, LayerNorm
+statistics, softmax, and GELU run in f32 on the VPU; the residual stream is
+stored bf16 (same profile as serve/int8_vit.int8_apply with
+compute_dtype=bf16 — validated by argmax agreement in tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _q8(y, inv_s, zp):
+    """f32 -> shifted int8 on the uint8 grid (see ops/quantized_matmul)."""
+    return (jnp.clip(jnp.round(y * inv_s + zp), 0.0, 255.0) - 128.0).astype(
+        jnp.int8
+    )
+
+
+def _dequant(acc, colsum_ref, ws_ref, bias_ref, s_x, z_s):
+    y = (acc - z_s * colsum_ref[:]).astype(jnp.float32) * (s_x * ws_ref[:])
+    return y + bias_ref[:]
+
+
+def _ln(y, g_ref, b_ref, eps):
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+    return (y - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
+
+
+def _block_kernel(
+    # activations
+    zq_ref, x_ref,
+    # qkv / proj / fc1 / fc2 weight panels (+colsum rows fused into *_cs)
+    wqkv_ref, cs_qkv_ref, b_qkv_ref, ws_qkv_ref,
+    wproj_ref, cs_proj_ref, b_proj_ref, ws_proj_ref,
+    wfc1_ref, cs_fc1_ref, b_fc1_ref, ws_fc1_ref,
+    wfc2_ref, cs_fc2_ref, b_fc2_ref, ws_fc2_ref,
+    # LayerNorm parameter rows
+    g2_ref, b2_ref, gn_ref, bn_ref,
+    # packed scalar quantization params (SMEM)
+    qs_ref,
+    # outputs
+    xout_ref, zqout_ref,
+    *, num_heads, head_dim, eps, n_valid, block_b,
+):
+    """qs_ref layout (f32, [1, 12]):
+    0 s_ln1    input scale (zq's qparams)          1 z_ln1   input zero-point
+    2 inv_so   1/scale of qkv out_q (o quantize)   3 zp_o    its zero-point
+    4 s_o      qkv out_q scale (proj dequant)      5 z_o     its zero-point
+    6 inv_s2   1/scale of norm2 out_q              7 zp_2    its zero-point
+    8 s_2/z_2 are 6,7's scale: s_2 = 1/inv_s2 (recomputed); slot 8 = inv_sg
+    9 zp_g     gelu_q zero-point
+    10 inv_sn  1/scale of next-LN out_q            11 zp_n   its zero-point
+    """
+    d = num_heads * head_dim
+    n_pad = zq_ref.shape[1]
+    scale = head_dim**-0.5
+
+    s1 = qs_ref[0, 0]
+    z1 = qs_ref[0, 1].astype(jnp.int32)
+    inv_so = qs_ref[0, 2]
+    zp_o = qs_ref[0, 3]
+    s_o = qs_ref[0, 4]
+    z_o = qs_ref[0, 5].astype(jnp.int32)
+    inv_s2 = qs_ref[0, 6]
+    zp_2 = qs_ref[0, 7]
+    inv_sg = qs_ref[0, 8]
+    zp_g = qs_ref[0, 9]
+    inv_sn = qs_ref[0, 10]
+    zp_n = qs_ref[0, 11]
+
+    # ---- qkv GEMM over the whole tile: [bb*n, d] @ [d, 3d] ----------------
+    zq2d = zq_ref[:].reshape(block_b * n_pad, d)
+    acc = jnp.dot(zq2d, wqkv_ref[:], preferred_element_type=jnp.int32)
+    qkv = _dequant(acc, cs_qkv_ref, ws_qkv_ref, b_qkv_ref, s1, z1 - 128)
+    qkv = qkv.reshape(block_b, n_pad, 3 * d).astype(jnp.bfloat16)
+
+    # ---- attention (group-masked, per image), emit int8 proj input -------
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
+    key_mask = col < n_valid
+    group = max(1, _LANE // head_dim) if head_dim <= _LANE else 1
+    gw = group * head_dim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+    neg = jnp.float32(-1e30)
+    o_rows = []
+    for b in range(block_b):
+        slabs = []
+        for g0 in range(0, num_heads, group):
+            base = g0 * head_dim
+            width = min(gw, d - base)
+            q_slab = qkv[b, :, base : base + width]
+            q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
+            k_slab = qkv[b, :, d + base : d + base + width]
+            v_slab = qkv[b, :, 2 * d + base : 2 * d + base + width]
+            acc_o = jnp.zeros((n_pad, width), jnp.float32)
+            for hh in range(min(group, num_heads - g0)):
+                hmask = (lane[:, :width] >= hh * head_dim) & (
+                    lane[:, :width] < (hh + 1) * head_dim
+                )
+                k_h = jnp.where(hmask, k_slab, jnp.zeros_like(k_slab))
+                scores = jax.lax.dot_general(
+                    q_slab, k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                scores = jnp.where(key_mask, scores, neg)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                    jnp.bfloat16
+                )
+                v_h = jnp.where(hmask, v_slab, jnp.zeros_like(v_slab))
+                acc_o = acc_o + jnp.dot(
+                    p, v_h, preferred_element_type=jnp.float32
+                )
+            slabs.append(acc_o)
+        o_rows.append(jnp.concatenate(slabs, axis=-1))
+    o_q = _q8(jnp.stack(o_rows).reshape(block_b * n_pad, d), inv_so, zp_o)
+
+    # ---- proj GEMM + residual -> x_mid; LN2 -> int8 fc1 input ------------
+    acc = jnp.dot(o_q, wproj_ref[:], preferred_element_type=jnp.int32)
+    p_out = _dequant(acc, cs_proj_ref, ws_proj_ref, b_proj_ref, s_o, z_o - 128)
+    x_mid = x_ref[:].reshape(block_b * n_pad, d).astype(jnp.float32) + p_out
+    zq2 = _q8(_ln(x_mid, g2_ref, b2_ref, eps), inv_s2, zp_2)
+
+    # ---- fc1 GEMM + GELU -> int8 fc2 input --------------------------------
+    s_2 = 1.0 / inv_s2
+    z_2 = zp_2.astype(jnp.int32)
+    acc = jnp.dot(zq2, wfc1_ref[:], preferred_element_type=jnp.int32)
+    f1 = _dequant(acc, cs_fc1_ref, ws_fc1_ref, b_fc1_ref, s_2, z_2 - 128)
+    g_q = _q8(jax.nn.gelu(f1, approximate=True), inv_sg, zp_g)
+
+    # ---- fc2 GEMM + residual -> x'; next-block LN1 -> int8 ----------------
+    s_g = 1.0 / inv_sg
+    z_g = zp_g.astype(jnp.int32)
+    acc = jnp.dot(g_q, wfc2_ref[:], preferred_element_type=jnp.int32)
+    f2 = _dequant(acc, cs_fc2_ref, ws_fc2_ref, b_fc2_ref, s_g, z_g - 128)
+    x_out = x_mid + f2
+    xout_ref[:] = x_out.reshape(block_b, n_pad, d).astype(xout_ref.dtype)
+    zq_out = _q8(_ln(x_out, gn_ref, bn_ref, eps), inv_sn, zp_n)
+    zqout_ref[:] = zq_out.reshape(block_b, n_pad, d)
+
+
+def _row(v, n):
+    return jnp.asarray(v, jnp.float32).reshape(1, n)
+
+
+def _gemm_rows(layer, k, n):
+    """(w_int8 [k,n], colsum int32 [1,n], bias f32 [1,n], w_scale f32 [1,n])."""
+    w = layer["w_int8"]
+    colsum = jnp.asarray(layer["w_colsum"], jnp.int32).reshape(1, n)
+    bias = layer.get("bias")
+    bias = (
+        jnp.zeros((1, n), jnp.float32)
+        if bias is None
+        else jnp.asarray(bias, jnp.float32).reshape(1, n)
+    )
+    ws = jnp.broadcast_to(
+        jnp.asarray(layer["w_scale"], jnp.float32).reshape(1, -1), (1, n)
+    )
+    return w, colsum, bias, ws
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_heads", "head_dim", "eps", "n_valid", "block_b",
+                     "interpret"),
+)
+def _run_block(
+    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, interpret
+):
+    bb, n_pad, d = zq.shape
+    grid = (bb // block_b,)
+    tile = lambda r: pl.BlockSpec(  # noqa: E731
+        (block_b, n_pad, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    rowspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(d), tile(d)]
+    for w, cs, b, ws in args[:4]:
+        in_specs += [
+            rowspec(w.shape), rowspec(cs.shape), rowspec(b.shape),
+            rowspec(ws.shape),
+        ]
+    in_specs += [rowspec((1, d))] * 4  # LN rows
+    in_specs += [pl.BlockSpec((1, 12), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    flat = [zq, x]
+    for grp in args[:4]:
+        flat += list(grp)
+    flat += list(args[4]) + [qs]
+    x_out, zq_out = pl.pallas_call(
+        partial(
+            _block_kernel, num_heads=num_heads, head_dim=head_dim, eps=eps,
+            n_valid=n_valid, block_b=block_b,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bb, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((bb, n_pad, d), jnp.int8),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(tile(d), tile(d)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bb * n_pad * d * (3 * d + d + 8 * d)
+            + 4 * bb * n_pad * n_pad * d * 2,
+            bytes_accessed=zq.size + x.size * 4 + sum(
+                g[0].size for g in args[:4]
+            ),
+            transcendentals=bb * num_heads * n_pad * n_pad
+            + bb * n_pad * 4 * d,
+        ),
+        interpret=interpret,
+    )(*flat)
+    return x_out, zq_out
+
+
+def block_forward(
+    zq: jnp.ndarray,  # [B, N_pad, D] shifted-int8 LN1 output (GEMM input)
+    x: jnp.ndarray,  # [B, N_pad, D] bf16/f32 residual stream
+    blk: Dict[str, Any],  # one entry of the convert_vit "blocks" tree
+    next_ln: Dict[str, Any],  # next block's norm1 (or the final norm)
+    *,
+    num_heads: int,
+    head_dim: int,
+    eps: float = 1e-6,
+    n_valid: int,
+    block_b: int = 4,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One full ViT block in one Pallas call → (x', next block's zq')."""
+    d = num_heads * head_dim
+    args = (
+        _gemm_rows(blk["qkv"], d, 3 * d),
+        _gemm_rows(blk["proj"], d, d),
+        _gemm_rows(blk["fc1"], d, 4 * d),
+        _gemm_rows(blk["fc2"], 4 * d, d),
+        (
+            _row(blk["norm2"]["scale"], d), _row(blk["norm2"]["bias"], d),
+            _row(next_ln["scale"], d), _row(next_ln["bias"], d),
+        ),
+    )
+    f32 = lambda v: jnp.asarray(v, jnp.float32).reshape(())  # noqa: E731
+    qs = jnp.stack([
+        f32(blk["norm1"]["out_q"]["scale"]),
+        f32(blk["norm1"]["out_q"]["zero_point"]),
+        1.0 / f32(blk["qkv"]["out_q"]["scale"]),
+        f32(blk["qkv"]["out_q"]["zero_point"]),
+        f32(blk["qkv"]["out_q"]["scale"]),
+        f32(blk["qkv"]["out_q"]["zero_point"]),
+        1.0 / f32(blk["norm2"]["out_q"]["scale"]),
+        f32(blk["norm2"]["out_q"]["zero_point"]),
+        1.0 / f32(blk["gelu_q"]["scale"]),
+        f32(blk["gelu_q"]["zero_point"]),
+        1.0 / f32(next_ln["out_q"]["scale"]),
+        f32(next_ln["out_q"]["zero_point"]),
+    ]).reshape(1, 12)
+    bb = zq.shape[0]
+    block_b = min(block_b, bb)
+    pad = (-bb) % block_b
+    if pad:
+        zq = jnp.pad(zq, ((0, pad), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    x_out, zq_out = _run_block(
+        zq, x, args, qs, num_heads=num_heads, head_dim=head_dim, eps=eps,
+        n_valid=n_valid, block_b=block_b, interpret=interpret,
+    )
+    return x_out[:bb], zq_out[:bb]
+
+
+def megablock_available(num_heads: int, head_dim: int) -> bool:
+    d = num_heads * head_dim
+    return (
+        jax.default_backend() == "tpu"
+        and d % _LANE == 0
+        and head_dim <= _LANE
+    )

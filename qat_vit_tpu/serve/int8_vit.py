@@ -269,6 +269,9 @@ def _fused_blocks(
     pallas_qkv = mode in ("mixed", "mixed_qkv")
     pallas_fc1 = mode in ("mixed", "mixed_fc1")
 
+    if mode == "megablock":
+        return _megablock_stack(qp, x, cfg, compute_dtype=cdt)
+
     def xla_dense(x_q, layer, in_q, out_dtype=cdt):
         return int8_matmul_xla(
             x_q, layer["w_int8"], x_scale=in_q["scale"],
@@ -355,6 +358,73 @@ def _fused_blocks(
             )
 
     # head GEMM on the cls token (N=num_classes is lane-unaligned -> XLA path)
+    hq = qp["norm"]["out_q"]
+    logits = int8_matmul_xla(
+        zq[:, 0],
+        qp["head"]["w_int8"],
+        x_scale=hq["scale"],
+        x_zero_point=hq["zero_point"],
+        w_scale=qp["head"]["w_scale"],
+        w_colsum=qp["head"]["w_colsum"],
+        bias=qp["head"].get("bias"),
+        out_dtype=jnp.float32,
+    )
+    return logits.astype(jnp.float32)
+
+
+def _megablock_stack(
+    qp: Dict[str, Any],
+    x: jnp.ndarray,  # [B, N, D] float residual stream after patch embed
+    cfg: ViTConfig,
+    *,
+    compute_dtype=jnp.bfloat16,
+    block_b: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-block Pallas kernels chained custom-call→custom-call.
+
+    Each of the 12 blocks is ONE kernel (ops/block_kernel.py): qkv GEMM →
+    attention → proj(+residual+LN2+quantize) → fc1(+GELU+quantize) →
+    fc2(+residual+next-LN+quantize). Between blocks only (x bf16, zq int8)
+    cross HBM, and no XLA ops sit between the calls, so there are no layout
+    conversions at the boundaries. Sequence padded to the lane multiple once.
+    """
+    from qat_vit_tpu.ops.block_kernel import block_forward
+    from qat_vit_tpu.ops.quantized_matmul import (
+        int8_matmul_xla,
+        quantize_act_shifted,
+    )
+
+    eps = cfg.layer_norm_eps
+    b, n, d = x.shape
+    n_pad = max(128, -(-n // 128) * 128)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    x = x.astype(compute_dtype)
+
+    blk0 = qp["blocks"]["0"]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    z = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    z = z * blk0["norm1"]["scale"] + blk0["norm1"]["bias"]
+    zq = quantize_act_shifted(
+        z, blk0["norm1"]["out_q"]["scale"], blk0["norm1"]["out_q"]["zero_point"]
+    )
+
+    for i in range(cfg.depth):
+        blk = qp["blocks"][str(i)]
+        nxt = (
+            qp["blocks"][str(i + 1)]["norm1"]
+            if i + 1 < cfg.depth
+            else qp["norm"]
+        )
+        x, zq = block_forward(
+            zq, x, blk, nxt,
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim, eps=eps,
+            n_valid=n, block_b=block_b, interpret=interpret,
+        )
+
     hq = qp["norm"]["out_q"]
     logits = int8_matmul_xla(
         zq[:, 0],

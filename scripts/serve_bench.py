@@ -181,6 +181,9 @@ def main():
     bench("mixed_none+pallas_attn", lambda qp, x: int8_apply(
         qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
         fused="mixed_none", attn_impl="pallas_fused"))
+    bench("megablock", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        fused="megablock"))
     for skip in ("attn", "gelu", "residual"):
         bench(f"approx_skip_{skip}", partial(
             ablated_apply, cfg=cfg, skip=(skip,), gelu_approx=True))

@@ -150,6 +150,40 @@ class TestFusedPipeline:
         )
 
 
+class TestMegablock:
+    def test_megablock_forward_matches_unfused(self):
+        """The whole-block kernel stack (ops/block_kernel.py) reproduces the
+        exact serving forward: identical argmax, close logits (bf16 residual
+        stream + approx GELU are its documented numerics profile)."""
+        import flax.linen as nn
+
+        from qat_vit_tpu.models.registry import create_model
+        from qat_vit_tpu.serve.int8_vit import convert_vit, int8_apply
+
+        m = create_model("vit_micro_test", qat_wrapper=True)
+        rng = np.random.default_rng(0)
+        v = nn.meta.unbox(
+            m.module.init(jax.random.key(0), m.example_input(1), observe=False)
+        )
+        x = jnp.asarray(
+            rng.normal(size=(8,) + m.example_input(1).shape[1:]).astype(np.float32)
+        )
+        _, mut = m.module.apply(
+            {"params": v["params"], "quant_stats": v["quant_stats"]},
+            x, observe=True, mutable=["quant_stats"],
+        )
+        qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
+        base = int8_apply(qp, x, m.cfg, gelu_approx=True)
+        with pltpu.force_tpu_interpret_mode():
+            mega = int8_apply(
+                qp, x, m.cfg, compute_dtype=jnp.bfloat16, fused="megablock"
+            )
+        assert (base.argmax(-1) == mega.argmax(-1)).all()
+        np.testing.assert_allclose(
+            np.asarray(mega), np.asarray(base), rtol=0.05, atol=0.05
+        )
+
+
 class TestFusedAttention:
     def test_matches_xla_einsum(self):
         from qat_vit_tpu.ops.flash_attention import (
