@@ -395,6 +395,11 @@ def _megablock_stack(
         quantize_act_shifted,
     )
 
+    if cfg.act != "gelu":
+        raise NotImplementedError(
+            f"megablock kernel supports act='gelu' only (got {cfg.act!r}); "
+            "use fused='mixed_none' for quick-GELU models (OWLv2)"
+        )
     eps = cfg.layer_norm_eps
     b, n, d = x.shape
     n_pad = max(128, -(-n // 128) * 128)

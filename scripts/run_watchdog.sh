@@ -1,0 +1,55 @@
+#!/usr/bin/env bash
+# Stall watchdog for long TPU jobs on the single-client tunnel.
+#
+# The tunnel occasionally wedges the first RPC of a freshly-registered client
+# (observed: a new process connecting seconds after the previous client
+# disconnected blocks forever in the remote-compile wait with ~zero CPU).
+# Because every long-running entry point here is phase-idempotent
+# (accuracy_loop.py resumes from artifacts), the safe fix is: detect the
+# stall (log silent AND process CPU flat) and restart after a cooldown.
+#
+# Usage: scripts/run_watchdog.sh LOGFILE -- python scripts/accuracy_loop.py ...
+set -u
+
+LOG="$1"; shift
+[ "$1" = "--" ] && shift
+
+STALL_SECS="${STALL_SECS:-900}"   # log silence required to call it a stall
+CPU_DELTA_MIN=5                   # jiffies of CPU growth that count as alive
+COOLDOWN="${COOLDOWN:-60}"        # tunnel settle time before relaunch
+MAX_RESTARTS="${MAX_RESTARTS:-20}"
+
+restarts=0
+while [ "$restarts" -le "$MAX_RESTARTS" ]; do
+  "$@" >> "$LOG" 2>&1 &
+  pid=$!
+  echo "[watchdog] started pid=$pid (restart #$restarts)" >> "$LOG"
+  last_cpu=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    kill -0 "$pid" 2>/dev/null || break
+    now=$(date +%s)
+    mtime=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
+    cpu=$(awk '{print $14+$15}' "/proc/$pid/stat" 2>/dev/null || echo 0)
+    if [ $((now - mtime)) -ge "$STALL_SECS" ] \
+       && [ $((cpu - last_cpu)) -lt "$CPU_DELTA_MIN" ]; then
+      echo "[watchdog] stall: log silent $((now - mtime))s, cpu flat" \
+           "($last_cpu -> $cpu) - restarting" >> "$LOG"
+      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      break
+    fi
+    last_cpu=$cpu
+  done
+  if wait "$pid" 2>/dev/null; then
+    echo "[watchdog] job finished cleanly" >> "$LOG"
+    exit 0
+  fi
+  rc=$?
+  # normal completion path also lands here if wait returned non-zero
+  if [ "$rc" -eq 0 ]; then exit 0; fi
+  echo "[watchdog] exit rc=$rc; cooldown ${COOLDOWN}s then restart" >> "$LOG"
+  sleep "$COOLDOWN"
+  restarts=$((restarts + 1))
+done
+echo "[watchdog] gave up after $MAX_RESTARTS restarts" >> "$LOG"
+exit 1
