@@ -193,6 +193,76 @@ def bench_int8_infer(preset: bool = True) -> float:
     return INFER_BATCH * INFER_STEPS / dt
 
 
+def _watchdog_main() -> None:
+    """Re-run the bench in a child process, guarding against the tunnel's
+    client-turnover wedge (CLAUDE.md): a client that registers seconds after
+    the previous one disconnects can block forever on its FIRST device RPC.
+    The child proves tunnel liveness with a trivial device op ("device up"
+    on stderr); if that line doesn't appear in time the attempt is wedged —
+    kill, cool down, retry. Compiles persist (compile cache), so a timed-out
+    healthy attempt makes the retry fast."""
+    import os
+    import subprocess
+    import sys
+
+    first_op_timeout = 420.0  # wedge detector: trivial op must finish by now
+    attempt_timeout = 2700.0
+    for attempt in range(3):
+        env = dict(os.environ, QVT_BENCH_CHILD="1")
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        import threading
+
+        state = {"device_up": False, "err_tail": []}
+
+        def drain(proc=child, st=state):
+            for raw in proc.stderr:
+                line = raw.decode(errors="replace")
+                st["err_tail"] = (st["err_tail"] + [line])[-20:]
+                if "[bench] device up" in line:
+                    st["device_up"] = True
+                sys.stderr.write(line)
+
+        t = threading.Thread(target=drain, daemon=True)
+        t.start()
+        deadline = time.monotonic() + first_op_timeout
+        wedged = False
+        while child.poll() is None and time.monotonic() < deadline:
+            if state["device_up"]:
+                break
+            time.sleep(5)
+        if child.poll() is None and not state["device_up"]:
+            wedged = True
+            print(
+                f"[bench] attempt {attempt}: no device RPC in "
+                f"{first_op_timeout:.0f}s - tunnel wedge, restarting",
+                file=sys.stderr,
+            )
+            child.kill()
+        else:
+            # stderr is owned by the drain thread; stdout is one JSON line
+            # emitted at the end (fits the pipe buffer), read after exit
+            end = time.monotonic() + attempt_timeout
+            while child.poll() is None and time.monotonic() < end:
+                time.sleep(5)
+            if child.poll() is None:
+                child.kill()
+                child.wait()
+            out = child.stdout.read()
+            t.join(timeout=10)
+            if child.returncode == 0 and out.strip():
+                sys.stdout.buffer.write(out)
+                return
+            print(
+                f"[bench] attempt {attempt} rc={child.returncode}",
+                file=sys.stderr,
+            )
+        time.sleep(60 if wedged else 10)  # let the tunnel session settle
+    raise SystemExit("bench: all attempts failed")
+
+
 def main() -> None:
     from qat_vit_tpu.utils.compile_cache import enable_compile_cache
 
@@ -201,6 +271,10 @@ def main() -> None:
 
     backend = jax.default_backend()
     import jax.numpy as _jnp
+    import sys
+
+    float(jax.jit(lambda x: x + 1.0)(_jnp.zeros(())))  # tunnel liveness probe
+    print("[bench] device up", file=sys.stderr, flush=True)
 
     train_ips = bench_qat_train(cache_teacher=True)
     train_ips_full = bench_qat_train(cache_teacher=False)
@@ -233,4 +307,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("QVT_BENCH_CHILD") == "1":
+        main()
+    else:
+        _watchdog_main()
