@@ -58,12 +58,16 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # saving on v5e. Set False to force per-step teacher forwards (reference
     # behavior, same numbers, slower).
     "cache_teacher_logits": True,
-    # Opt-in bf16 matmuls under fake-quant. The reference (and default here)
-    # runs QAT in f32 — torch disables AMP once fake-quant starts
-    # (qat_trainer.py:320) because torch.ao kernels reject fp16 mixes; on TPU
-    # bf16 composes fine with the f32 fake-quant math and is ~25% faster.
-    # Off by default for strict numerics parity.
-    "qat_amp": False,
+    # bf16 matmuls under fake-quant. The reference runs QAT in f32 — torch
+    # disables AMP once fake-quant starts (qat_trainer.py:320) because
+    # torch.ao kernels reject fp16 mixes; on TPU bf16 composes fine with the
+    # f32 fake-quant math. ON by default since round 2's full-scale evidence:
+    # 2.1x QAT-epoch throughput (2288 vs 1080 img/s) at equal-or-better
+    # accuracy (last-epoch qat 0.9002/int8 0.9001 vs f32's 0.8980/0.8973;
+    # runs/acc_r2 REPORT, docs/BENCHMARKS.md), and the bf16 step tracks the
+    # torch.ao f32 trajectory within tolerance (test_torch_trajectory.py).
+    # Set False for strict f32 numerics parity with the reference.
+    "qat_amp": True,
     "progress_bar": False,  # tqdm batch progress (ref qat_trainer.py:323-328)
     # int8 export with per-output-channel weight scales (accuracy upgrade
     # over the reference's per-tensor qnnpack scheme; serving cost unchanged)
