@@ -269,8 +269,14 @@ def _fused_blocks(
     pallas_qkv = mode in ("mixed", "mixed_qkv")
     pallas_fc1 = mode in ("mixed", "mixed_fc1")
 
-    if mode == "megablock":
-        return _megablock_stack(qp, x, cfg, compute_dtype=cdt)
+    if mode.startswith("megablock"):
+        parts = mode.split(":")
+        bb = int(parts[1]) if len(parts) > 1 and parts[1] else 4
+        tight = len(parts) > 2 and parts[2] == "tight"
+        return _megablock_stack(
+            qp, x, cfg, compute_dtype=cdt, block_b=bb,
+            pad_multiple=32 if tight else 128,
+        )
 
     def xla_dense(x_q, layer, in_q, out_dtype=cdt):
         return int8_matmul_xla(
@@ -379,6 +385,7 @@ def _megablock_stack(
     *,
     compute_dtype=jnp.bfloat16,
     block_b: int = 4,
+    pad_multiple: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Whole-block Pallas kernels chained custom-call→custom-call.
@@ -402,7 +409,8 @@ def _megablock_stack(
         )
     eps = cfg.layer_norm_eps
     b, n, d = x.shape
-    n_pad = max(128, -(-n // 128) * 128)
+    m = pad_multiple
+    n_pad = max(m, -(-n // m) * m)
     if n_pad != n:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
     x = x.astype(compute_dtype)
@@ -447,23 +455,32 @@ def _megablock_stack(
 def serving_preset(cfg: ViTConfig) -> Dict[str, Any]:
     """Measured-best serving options for the current backend.
 
-    On TPU (scripts/serve_bench.py, batch 256 ViT-S): bf16 residual stream,
-    tanh-approx GELU, the restructured int8-handoff block chain
-    (``fused="mixed_none"``), and the fused Pallas attention kernel with its
-    proj-input quantize epilogue — 6,557 → 10,514 img/s over the round-1
-    path. Elsewhere (CPU tests, interpret mode): the exact defaults.
-    Accuracy: every option is validated against the exact path (argmax
-    agreement on micro models in tests/test_fused_serve.py; full-scale int8
-    top-1 cross-check in scripts/accuracy_loop.py).
+    On TPU (scripts/serve_bench.py, batch 256 ViT-S): the megablock path —
+    one whole-transformer-block Pallas kernel per block (ops/block_kernel.py)
+    with the sequence padded only to the 32-sublane multiple (197→224) —
+    6,557 (round 1) → 10,533 (fused seams) → **12,744 img/s**. Quick-GELU
+    models (OWLv2) use the mixed int8-handoff chain + fused Pallas attention
+    instead (megablock's in-kernel epilogue is tanh-GELU only). Elsewhere
+    (CPU tests, interpret mode): the exact defaults. Accuracy: every option
+    is validated against the exact path (argmax agreement on micro models in
+    tests/test_fused_serve.py; full-scale int8 top-1 cross-check in
+    scripts/accuracy_loop.py).
     """
     if jax.default_backend() != "tpu":
         return {}
+    if cfg.act != "gelu":
+        return {
+            "attn_dtype": jnp.bfloat16,
+            "compute_dtype": jnp.bfloat16,
+            "gelu_approx": True,
+            "fused": "mixed_none",
+            "attn_impl": "pallas_fused",
+        }
     return {
         "attn_dtype": jnp.bfloat16,
         "compute_dtype": jnp.bfloat16,
         "gelu_approx": True,
-        "fused": "mixed_none",
-        "attn_impl": "pallas_fused",
+        "fused": "megablock:4:tight",
     }
 
 

@@ -184,6 +184,14 @@ def main():
     bench("megablock", lambda qp, x: int8_apply(
         qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
         fused="megablock"))
+    for bb in (1, 2, 8):
+        bench(f"megablock:{bb}", lambda qp, x, m=f"megablock:{bb}": int8_apply(
+            qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+            fused=m))
+    for mode in ("megablock:4:tight", "megablock:2:tight", "megablock:8:tight"):
+        bench(mode, lambda qp, x, m=mode: int8_apply(
+            qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+            fused=m))
     for skip in ("attn", "gelu", "residual"):
         bench(f"approx_skip_{skip}", partial(
             ablated_apply, cfg=cfg, skip=(skip,), gelu_approx=True))
