@@ -276,14 +276,15 @@ def main() -> None:
     float(jax.jit(lambda x: x + 1.0)(_jnp.zeros(())))  # tunnel liveness probe
     print("[bench] device up", file=sys.stderr, flush=True)
 
-    train_ips = bench_qat_train(cache_teacher=True)
+    train_ips_f32 = bench_qat_train(cache_teacher=True)
     train_ips_full = bench_qat_train(cache_teacher=False)
-    train_ips_amp = bench_qat_train(cache_teacher=True, qat_dtype=_jnp.bfloat16)
+    # the DEFAULT config since round 2: qat_amp bf16 (full-scale evidence in
+    # docs/BENCHMARKS.md — equal accuracy, int8 within 0.01% of QAT)
+    train_ips = bench_qat_train(cache_teacher=True, qat_dtype=_jnp.bfloat16)
     try:
         infer_ips = bench_int8_infer()
     except Exception as e:  # int8 extras must not sink the headline number
         infer_ips = None
-        import sys
 
         print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     result = {
@@ -294,7 +295,7 @@ def main() -> None:
         "extras": {
             "int8_infer_imgs_per_sec": round(infer_ips, 1) if infer_ips else None,
             "qat_train_imgs_per_sec_teacher_every_step": round(train_ips_full, 1),
-            "qat_train_imgs_per_sec_bf16_qat_amp": round(train_ips_amp, 1),
+            "qat_train_imgs_per_sec_f32_strict_parity": round(train_ips_f32, 1),
             "train_batch": TRAIN_BATCH,
             "infer_batch": INFER_BATCH,
             "train_steps_timed": TRAIN_STEPS,

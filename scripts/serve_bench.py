@@ -192,6 +192,29 @@ def main():
         bench(mode, lambda qp, x, m=mode: int8_apply(
             qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
             fused=m))
+
+    def blocks_only(qp, x):
+        # the 12 megablock kernels alone (no patch embed / entry LN / head):
+        # isolates per-block cost from the XLA entry/exit chain
+        from qat_vit_tpu.ops.block_kernel import block_forward
+
+        b = x.shape[0]
+        xr = (jnp.zeros((b, 224, cfg.embed_dim), jnp.bfloat16)
+              + x[:, 0, 0, 0][:, None, None].astype(jnp.bfloat16))
+        zq = jnp.broadcast_to(
+            (xr[..., :1] * 0 + 3).astype(jnp.int8), xr.shape
+        )
+        for i in range(cfg.depth):
+            blk = qp["blocks"][str(i)]
+            nxt = (qp["blocks"][str(i + 1)]["norm1"] if i + 1 < cfg.depth
+                   else qp["norm"])
+            xr, zq = block_forward(
+                zq, xr, blk, nxt, num_heads=cfg.num_heads,
+                head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
+                n_valid=197, block_b=4)
+        return xr[:, 0]
+
+    bench("mega_blocks_only", blocks_only)
     for skip in ("attn", "gelu", "residual"):
         bench(f"approx_skip_{skip}", partial(
             ablated_apply, cfg=cfg, skip=(skip,), gelu_approx=True))
