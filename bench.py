@@ -75,7 +75,10 @@ def bench_qat_train(cache_teacher: bool = True, qat_dtype=None) -> float:
         from qat_vit_tpu.models import ModelBundle
         from qat_vit_tpu.models.vit import VisionTransformer
 
-        cfg = dataclasses.replace(student.cfg, dtype=qat_dtype)
+        cfg = dataclasses.replace(
+            student.cfg, dtype=qat_dtype,
+            fast_math=qat_dtype == jnp.bfloat16,  # trainer's amp_fast_math
+        )
         student = ModelBundle(student.name, VisionTransformer(cfg), cfg)
 
     t_params = nn.meta.unbox(

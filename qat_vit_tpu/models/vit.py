@@ -68,6 +68,14 @@ class ViTConfig:
     # Computation dtype (params always fp32). bf16 pre-QAT, fp32 under QAT —
     # the reference's AMP phase gating (qat_trainer.py:320).
     dtype: Dtype = jnp.float32
+    # bf16 softmax + tanh-approx GELU. The two measured-dominant non-GEMM
+    # costs of the train step (scripts/op_grad_bench.py: attention fwd+bwd
+    # 74.8→49.8 ms/step with bf16 softmax; exact-f32 GELU 25.1→3.9 ms with
+    # the bf16 tanh approx). Enabled by the trainer for its bf16 phases
+    # (amp_fast_math hparam); full-scale accuracy evidence in
+    # docs/BENCHMARKS.md. Off → exact f32 softmax/erf-GELU (reference
+    # numerics).
+    fast_math: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -88,10 +96,14 @@ class ViTConfig:
         return int(round(self.embed_dim * self.mlp_ratio))
 
 
-def apply_act(x: jnp.ndarray, act: str) -> jnp.ndarray:
-    """MLP activation by name; float under QAT (torch leaves both unquantized)."""
+def apply_act(x: jnp.ndarray, act: str, fast: bool = False) -> jnp.ndarray:
+    """MLP activation by name; float under QAT (torch leaves both unquantized).
+
+    ``fast=True`` uses the tanh approximation in the compute dtype (the
+    fast_math mode; error ~1e-3 of the activation range — far below both the
+    int8 quantization grid and bf16 training noise)."""
     if act == "gelu":
-        return nn.gelu(x, approximate=False)
+        return nn.gelu(x, approximate=fast)
     if act == "quick_gelu":  # CLIP/OWLv2: x * sigmoid(1.702 x)
         return x * nn.sigmoid(1.702 * x)
     raise ValueError(f"unknown activation {act!r}")
@@ -266,7 +278,10 @@ class Attention(nn.Module):
         # stay in compute dtype — writing them f32 was measured 10% slower
         # end-to-end (doubles score-tensor HBM traffic fwd and bwd).
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        # fast_math: softmax in bf16 (the max-subtraction keeps it stable;
+        # measured 74.8→49.8 ms/step over the 12 layers fwd+bwd)
+        sm_dt = q.dtype if cfg.fast_math else jnp.float32
+        attn = nn.softmax(attn.astype(sm_dt), axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(B, N, D)
         return QuantDense(
@@ -292,7 +307,7 @@ class Mlp(nn.Module):
             name="fc1",
         )(x, observe=observe)
         # Activation stays float under QAT (torch leaves it unquantized).
-        y = apply_act(y, cfg.act)
+        y = apply_act(y, cfg.act, fast=cfg.fast_math)
         return QuantDense(
             features=cfg.embed_dim,
             quant=cfg.quant,

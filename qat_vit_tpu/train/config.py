@@ -68,6 +68,12 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # torch.ao f32 trajectory within tolerance (test_torch_trajectory.py).
     # Set False for strict f32 numerics parity with the reference.
     "qat_amp": True,
+    # bf16 softmax + tanh-approx GELU inside the bf16 phases (float/AMP and
+    # qat_amp steps). The two measured-dominant non-GEMM step costs
+    # (op_grad_bench: attention 74.8->49.8 ms, GELU 25.1->3.9 ms); f32 QAT
+    # parity mode is unaffected. Full-scale accuracy evidence in
+    # docs/BENCHMARKS.md.
+    "amp_fast_math": True,
     "progress_bar": False,  # tqdm batch progress (ref qat_trainer.py:323-328)
     # int8 export with per-output-channel weight scales (accuracy upgrade
     # over the reference's per-tensor qnnpack scheme; serving cost unchanged)

@@ -159,11 +159,16 @@ class KDQATTrainer:
         qat_dtype = (
             jnp.bfloat16 if self.hp.get("qat_amp", False) else jnp.float32
         )
+        # fast_math (bf16 softmax + tanh GELU) rides the bf16 phases only;
+        # the strict-parity f32 QAT step keeps exact reference numerics
+        fast = bool(self.hp.get("amp_fast_math", True))
         self.student_qat_cfg = dataclasses.replace(
-            base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=qat_dtype
+            base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=qat_dtype,
+            fast_math=fast and qat_dtype == jnp.bfloat16,
         )
         self.student_float_cfg = dataclasses.replace(
-            base_student.cfg, quant=None, qat_wrapper=False, dtype=dtype
+            base_student.cfg, quant=None, qat_wrapper=False, dtype=dtype,
+            fast_math=fast and dtype == jnp.bfloat16,
         )
         from qat_vit_tpu.models.vit import VisionTransformer
 
