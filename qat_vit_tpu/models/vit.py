@@ -262,28 +262,40 @@ class Attention(nn.Module):
         cfg = self.cfg
         B, N, D = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
-        qkv = QuantDense(
+        qkv_packed = QuantDense(
             features=3 * D,
             quant=cfg.quant,
             dtype=cfg.dtype,
             kernel_axes=(EMBED, HIDDEN),
             name="qkv",
         )(x, observe=observe)
-        qkv = qkv.reshape(B, N, 3, h, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, hd]
-        scale = hd**-0.5
-        # transpose-free einsum forms: XLA folds the head-major layout into
-        # the batched matmuls instead of materializing [B, h, N, hd] copies
-        # (profiled on v5e: physical transposes were a top-3 cost). Scores
-        # stay in compute dtype — writing them f32 was measured 10% slower
-        # end-to-end (doubles score-tensor HBM traffic fwd and bwd).
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        # fast_math: softmax in bf16 (the max-subtraction keeps it stable;
-        # measured 74.8→49.8 ms/step over the 12 layers fwd+bwd)
-        sm_dt = q.dtype if cfg.fast_math else jnp.float32
-        attn = nn.softmax(attn.astype(sm_dt), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-        out = out.reshape(B, N, D)
+
+        from qat_vit_tpu.ops.flash_attention_train import (
+            attention_train,
+            attention_train_available,
+        )
+
+        if cfg.fast_math and attention_train_available(h, hd):
+            # fused Pallas fwd + custom-VJP bwd: the [B,H,N,N] probability
+            # tensor never exists in HBM in either direction (the dominant
+            # activation traffic of the train step — train_step_bench.py)
+            out = attention_train(qkv_packed, h, hd)
+        else:
+            qkv = qkv_packed.reshape(B, N, 3, h, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, hd]
+            scale = hd**-0.5
+            # transpose-free einsum forms: XLA folds the head-major layout
+            # into the batched matmuls instead of materializing [B, h, N, hd]
+            # copies (profiled on v5e: physical transposes were a top-3
+            # cost). Scores stay in compute dtype — writing them f32 was
+            # measured 10% slower end-to-end.
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            # fast_math: softmax in bf16 (max-subtraction keeps it stable;
+            # measured 74.8→49.8 ms/step over the 12 layers fwd+bwd)
+            sm_dt = q.dtype if cfg.fast_math else jnp.float32
+            attn = nn.softmax(attn.astype(sm_dt), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+            out = out.reshape(B, N, D)
         return QuantDense(
             features=D,
             quant=cfg.quant,

@@ -167,13 +167,13 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
 
 
 @partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b",
-                                   "quantize", "interpret"))
+                                   "quantize", "interpret", "pad_multiple"))
 def _fused_attention_call(qkv, qs, num_heads, head_dim, block_b, quantize,
-                          interpret):
+                          interpret, pad_multiple=_LANE):
     b, n, three_d = qkv.shape
     d = num_heads * head_dim
     assert three_d == 3 * d, (three_d, d)
-    n_pad = max(_LANE, -(-n // _LANE) * _LANE)
+    n_pad = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
     if n_pad != n:
         qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
     block_b = min(block_b, b)

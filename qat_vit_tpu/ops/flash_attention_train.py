@@ -1,0 +1,187 @@
+"""Training attention: fused Pallas forward + custom-VJP Pallas backward.
+
+The train step is activation-bandwidth-bound (scripts/train_step_bench.py):
+XLA's attention stores the [B, H, N, N] probability tensor for the backward
+pass (~119 MB/block at batch 256) and runs the softmax VJP as full-tensor
+HBM passes — attention alone measures ~50-75 ms/step of the ~133 ms bf16
+QAT step. These kernels keep scores, softmax, AND the softmax VJP entirely
+in VMEM:
+
+- forward = the serving group-masked kernel (ops/flash_attention.py design:
+  heads processed in 128-lane slabs, sibling lanes masked inside each dot —
+  no Mosaic relayouts) with nothing saved but the (already-stored) qkv;
+- backward recomputes scores -> softmax per head in VMEM (N<=a few hundred:
+  one [N, N] f32 tile, no streaming needed) and emits dqkv in one pass:
+
+      dp = do_h v_h^T ; ds = p (dp - rowsum(dp p)) ;
+      dq = ds k scale ; dk = ds^T q scale ; dv = p^T do_h
+
+Padded query rows carry zero cotangent (the wrapper slices them off, so
+their `do` is zero -> ds is zero); padded key columns die in the softmax
+mask. Replaces the torch/CUDA role of fused attention training kernels with
+a schedule shaped for short-sequence ViTs (reference trains via plain torch
+matmuls, src/training/qat_trainer.py:333-364 forward path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qat_vit_tpu.ops.flash_attention import _fused_attention_call
+
+_LANE = 128
+
+
+def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
+                          scale, n_valid, block_b):
+    n_pad = qkv_ref.shape[1]
+    d = num_heads * head_dim
+    group = max(1, _LANE // head_dim) if head_dim <= _LANE else 1
+    gw = group * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
+    key_mask = col < n_valid
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+    neg = jnp.float32(-1e30)
+    for b in range(block_b):
+        for g0 in range(0, num_heads, group):
+            base = g0 * head_dim
+            width = min(gw, d - base)
+            q_slab = qkv_ref[b, :, base : base + width]
+            k_slab = qkv_ref[b, :, d + base : d + base + width]
+            v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
+            do_slab = do_ref[b, :, base : base + width]
+            dq_acc = jnp.zeros((n_pad, width), jnp.float32)
+            dk_acc = jnp.zeros((n_pad, width), jnp.float32)
+            dv_acc = jnp.zeros((n_pad, width), jnp.float32)
+            for hh in range(min(group, num_heads - g0)):
+                hmask = (lane[:, :width] >= hh * head_dim) & (
+                    lane[:, :width] < (hh + 1) * head_dim
+                )
+                zeros = jnp.zeros_like(k_slab)
+                q_h = jnp.where(hmask, q_slab, zeros)
+                k_h = jnp.where(hmask, k_slab, zeros)
+                v_h = jnp.where(hmask, v_slab, zeros)
+                do_h = jnp.where(hmask, do_slab, zeros)
+                # recompute p (f32, in VMEM)
+                s = jax.lax.dot_general(
+                    q_h, k_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                s = jnp.where(key_mask, s, neg)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
+                # softmax VJP entirely on-chip
+                dp = jax.lax.dot_general(
+                    do_h, v_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                ds = ds.astype(qkv_ref.dtype)
+                p16 = p.astype(qkv_ref.dtype)
+                dq_acc = dq_acc + jnp.dot(
+                    ds, k_h, preferred_element_type=jnp.float32
+                ) * scale
+                dk_acc = dk_acc + jax.lax.dot_general(
+                    ds, q_h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                dv_acc = dv_acc + jax.lax.dot_general(
+                    p16, do_h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dqkv_ref[b, :, base : base + width] = dq_acc.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, d + base : d + base + width] = dk_acc.astype(
+                dqkv_ref.dtype
+            )
+            dqkv_ref[b, :, 2 * d + base : 2 * d + base + width] = (
+                dv_acc.astype(dqkv_ref.dtype)
+            )
+
+
+@partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b",
+                                   "interpret"))
+def _attention_bwd_call(qkv, do, num_heads, head_dim, block_b, interpret):
+    b, n, three_d = qkv.shape
+    d = num_heads * head_dim
+    n_pad = max(32, -(-n // 32) * 32)
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, n_pad - n), (0, 0)))
+    block_b = min(block_b, b)
+    b_pad = -(-b // block_b) * block_b
+    if b_pad != b:
+        qkv = jnp.pad(qkv, ((0, b_pad - b), (0, 0), (0, 0)))
+        do = jnp.pad(do, ((0, b_pad - b), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        partial(
+            _attention_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
+            scale=head_dim**-0.5, n_valid=n, block_b=block_b,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, 3 * d), qkv.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b_pad // block_b,),
+            in_specs=[
+                pl.BlockSpec((block_b, n_pad, 3 * d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, n_pad, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_b, n_pad, 3 * d),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b_pad * n_pad * n_pad * d * 2,
+            bytes_accessed=(qkv.size + do.size + qkv.size) * 2,
+            transcendentals=b_pad * num_heads * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qkv, do)
+    return out[:b, :n, :]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def attention_train(qkv, num_heads, head_dim, block_b=4, interpret=False):
+    """Fused MHA over packed qkv [B, N, 3*H*HD] → [B, N, H*HD], differentiable.
+
+    Forward and backward are single Pallas kernels; the probability tensor
+    never exists in HBM in either direction.
+    """
+    return _fused_attention_call(
+        qkv, jnp.zeros((1, 2), jnp.float32), num_heads, head_dim, block_b,
+        False, interpret, pad_multiple=32,
+    )
+
+
+def _attention_train_fwd(qkv, num_heads, head_dim, block_b, interpret):
+    out = attention_train(qkv, num_heads, head_dim, block_b, interpret)
+    return out, qkv
+
+
+def _attention_train_bwd(num_heads, head_dim, block_b, interpret, qkv, do):
+    dqkv = _attention_bwd_call(
+        qkv, do.astype(qkv.dtype), num_heads, head_dim, block_b, interpret
+    )
+    return (dqkv,)
+
+
+attention_train.defvjp(_attention_train_fwd, _attention_train_bwd)
+
+
+def attention_train_available(num_heads: int, head_dim: int) -> bool:
+    d = num_heads * head_dim
+    return (
+        jax.default_backend() == "tpu"
+        and d % _LANE == 0
+        and head_dim <= _LANE
+    )
