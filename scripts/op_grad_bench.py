@@ -231,3 +231,41 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _minmax_bench():
+    """Isolated cost of the observer reductions (jnp.min+jnp.max) over the
+    act-site tensors of all 12 blocks."""
+    import numpy as np
+    import time as _t
+    rng = np.random.default_rng(0)
+    acts = [jnp.asarray(rng.normal(size=s).astype(np.float32)).astype(
+        jnp.bfloat16) for s in ([B, N, 3 * D], [B, N, D], [B, N, MLP],
+                                [B, N, D])]
+
+    @jax.jit
+    def run(acts, z):
+        def one(carry, i):
+            t = carry
+            for a in acts:
+                a = a + t.astype(a.dtype) * 1e-9
+                t = t + jnp.min(a).astype(jnp.float32) * 12
+                t = t + jnp.max(a).astype(jnp.float32) * 12
+            return t, None
+        out, _ = jax.lax.scan(one, z, jnp.arange(STEPS))
+        return out
+
+    z = jnp.zeros(())
+    float(run(acts, z))
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        float(run(acts, z))
+        best = min(best, _t.perf_counter() - t0)
+    # one layer's worth of reductions scaled x12 via the *12 trick is wrong —
+    # this measures the 4 site tensors once per step; the model has 12x that
+    print(f"minmax_1layer {best / STEPS * 1e3:8.2f} ms/step (x12 for model)")
+
+
+if __name__ == "__main__" and "minmax" in sys.argv:
+    _minmax_bench()

@@ -263,6 +263,35 @@ def main():
     bench("float_step_remat", lambda: full_step_remat(bf16f, qat=False))
     bench("qat_step_remat", lambda: full_step_remat(bf16, qat=True))
     bench("qat_step_slowmath", lambda: full_step(bf16_slow, qat=True))
+
+    def qat_step_inline_fq():
+        """TIMING PROBE (wrong grads): fake_quantize without the custom_vjp
+        boundary or mask storage (plain STE via stop_gradient). Bounds how
+        much of the QAT-over-float delta is the custom-call boundary +
+        mask traffic vs the fq math itself."""
+        import qat_vit_tpu.quant.fake_quant as fqm
+
+        orig = fqm.fake_quantize
+
+        def inline_fq(x, scale, zero_point, quant_min, quant_max):
+            compute = x.astype(jnp.float32)
+            q = jnp.round(compute / scale + zero_point)
+            out = ((jnp.clip(q, quant_min, quant_max) - zero_point)
+                   * scale).astype(x.dtype)
+            return x + jax.lax.stop_gradient(out - x)
+
+        runner = full_step(bf16, qat=True)
+
+        def wrapped():  # patch must be live at trace time (first call)
+            fqm.fake_quantize = inline_fq
+            try:
+                return runner()
+            finally:
+                fqm.fake_quantize = orig
+
+        return wrapped
+
+    bench("qat_step_inline_fq", qat_step_inline_fq)
     bench("float_fwd", lambda: fwd_only(bf16f, qat=False, observe=False))
     bench("float_step", lambda: full_step(bf16f, qat=False))
     bench("float_step_prex", lambda: full_step(bf16f, qat=False,
