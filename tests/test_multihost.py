@@ -1,0 +1,161 @@
+"""2-process multi-host end-to-end: the distributed-correctness claim, run.
+
+Spawns two real ``jax.distributed`` processes (4 CPU devices each -> one
+8-device global mesh, Gloo cross-process collectives) through the complete
+``train_main`` pipeline — float phase, QAT switch, last-epoch convert,
+true-int8 eval, checkpoints — then checks:
+
+1. both processes terminate (the round-1 rank-0-only eval/convert structure
+   deadlocked exactly here, and no single-process test can see that);
+2. every rank computed identical per-epoch metrics (all-hosts-compute /
+   rank-0-I/O semantics);
+3. rank 0 alone produced the reference artifact set;
+4. the 2-host run matches a single-host 8-device run of the same
+   configuration at f32 tolerance — multi-host changes nothing but the
+   process boundary.
+
+Reference semantics being replaced: rank-0 eval on full per-rank model
+copies + DDP gradient averaging (``qat_trainer.py:366-403``,
+``ddp_utils.py:49-52``); here the model is sharding-annotated over a global
+mesh, so every process must enter the compiled collectives.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from qat_vit_tpu.parallel.mesh import pick_free_port
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+class TestTwoProcessTrainMain:
+    def test_full_pipeline_two_hosts(self, tmp_path):
+        port = pick_free_port()
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        # python <script> puts the script's dir (tests/) on sys.path, not the
+        # repo root; APPEND the root (never replace PYTHONPATH — the TPU
+        # tunnel's site dir must stay importable).
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (env.get("PYTHONPATH", ""), repo_root) if p
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, _WORKER, str(rank), str(port), str(tmp_path)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd=repo_root,
+                env=env,
+            )
+            for rank in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise AssertionError(
+                    "multi-host run timed out — eval/convert likely "
+                    "deadlocked a process (the round-1 failure mode)"
+                )
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"rank {procs.index(p)} failed:\n{out}"
+
+        # -- 2. cross-rank agreement: the sharded eval/convert computations
+        # are global, so both ranks must report bit-identical metrics.
+        with open(tmp_path / "rank0_results.json") as f:
+            r0 = json.load(f)
+        with open(tmp_path / "rank1_results.json") as f:
+            r1 = json.load(f)
+        assert r0 == r1, (r0, r1)
+        assert len(r0) == 2
+        assert not r0[0]["qat_enabled"] and r0[1]["qat_enabled"]
+        assert all(np.isfinite(e["train_loss"]) for e in r0)
+
+        # -- 3. rank-0-only I/O produced the reference artifact set.
+        outdir = tmp_path / "out"
+        for fname in (
+            "effective_hparams.yaml",
+            "best_qat.msgpack",
+            "best_converted.msgpack",
+            "resume_state.msgpack",
+        ):
+            assert (outdir / fname).is_file(), fname
+        from qat_vit_tpu.tracking import SqliteTracker
+
+        t = SqliteTracker(f"sqlite:///{tmp_path}/mlflow.db", "clue-vit-qat-final")
+        runs = t.runs()
+        assert len(runs) == 1 and runs[0]["status"] == "FINISHED"
+
+        # -- 4. single-host 8-device run of the identical configuration:
+        # multi-host must change nothing but the process boundary. Global
+        # batch (64) and data order match because the per-rank sampler
+        # slices (perm[r::2]) of one batch union to the single-host batch
+        # (perm[0:64]); only intra-batch reduction order differs.
+        from qat_vit_tpu.data import synthetic_cifar10
+        from qat_vit_tpu.models import create_model
+        from qat_vit_tpu.train.config import DEFAULT_HPARAMS
+        import qat_vit_tpu.train.trainer as trainer_mod
+
+        hp = dict(DEFAULT_HPARAMS)
+        hp.update(
+            lr=3e-3,
+            weight_decay=1e-4,
+            epochs=2,
+            qat_start_epoch=1,
+            batch_size=64,  # one host -> same global batch as 2x32
+            eval_batch_size=128,
+            image_size=32,
+            output_dir=str(tmp_path / "out_1host"),
+            mlflow_uri=f"sqlite:///{tmp_path}/mlflow_1host.db",
+            data_dir=str(tmp_path / "nodata"),
+            limit_train_batches=3,
+            limit_eval_batches=1,  # 1x128 images = the workers' 2x64
+            qat_amp=False,
+        )
+        data = synthetic_cifar10(n_train=256, n_test=128, seed=3)
+        orig = (
+            trainer_mod.create_student,
+            trainer_mod.create_teacher,
+            trainer_mod.load_cifar10,
+        )
+        trainer_mod.create_student = lambda *a, **k: create_model("vit_micro_test")
+        trainer_mod.create_teacher = lambda *a, **k: create_model("vit_micro_test")
+        trainer_mod.load_cifar10 = lambda *a, **k: (data, "synthetic")
+        try:
+            res1 = trainer_mod.train_main(hp)
+        finally:
+            (
+                trainer_mod.create_student,
+                trainer_mod.create_teacher,
+                trainer_mod.load_cifar10,
+            ) = orig
+
+        for e2, e1 in zip(r0, res1["results"]):
+            # Not bit-equal: the 2-host global batch interleaves the sampler
+            # slices and partitions devices differently, so the gradient-psum
+            # reduction order differs; the drift compounds through optimizer
+            # steps (measured ~1.5e-4 relative after 3 steps). 1e-3 still
+            # catches any real semantic break (a lost 2x normalization or a
+            # missing rank's gradient shifts the loss at the 1e-1 level).
+            np.testing.assert_allclose(
+                e2["train_loss"], e1.train_loss, rtol=1e-3,
+                err_msg=f"epoch {e1.epoch} loss diverged across host counts",
+            )
+            # Accuracies are counts over the same 128 examples. In the float
+            # epoch the ~1e-4 param drift flips at most a borderline argmax.
+            # Under fake-quant the micro model is near-chance with logits
+            # quantized onto a shared grid, so order-noise ties flip in
+            # clusters (measured 4/128); the loss check above carries the
+            # tight equivalence there.
+            tol = (1 / 128 + 1e-9) if not e2["qat_enabled"] else 0.06
+            assert abs(e2["qat_acc"] - e1.qat_acc) <= tol, (e2, e1)
+            assert abs(e2["quant_acc"] - e1.quant_acc) <= tol, (e2, e1)
