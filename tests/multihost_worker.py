@@ -21,6 +21,67 @@ import os
 import re
 import sys
 
+# Shared by the worker (2-host run) and tests/test_multihost.py (single-host
+# comparison run): the equivalence assertions are only meaningful if both
+# runs use the same configuration, so there is exactly one copy of it.
+DATA_SEED = 3
+MICRO_OVERRIDES = dict(
+    lr=3e-3,
+    weight_decay=1e-4,
+    epochs=2,
+    qat_start_epoch=1,
+    batch_size=32,  # per-host -> global batch 64 over the 8-device mesh
+    eval_batch_size=64,
+    image_size=32,
+    limit_train_batches=3,
+    limit_eval_batches=2,
+    # strict-f32 step: losses are compared across host counts at tight
+    # tolerance, so keep the deterministic parity mode, not the bf16 default.
+    qat_amp=False,
+)
+
+
+def micro_hparams(workdir: str, **overrides):
+    from qat_vit_tpu.train.config import DEFAULT_HPARAMS
+
+    hp = dict(DEFAULT_HPARAMS)
+    hp.update(MICRO_OVERRIDES)
+    hp.update(
+        output_dir=os.path.join(workdir, "out"),
+        mlflow_uri=f"sqlite:///{workdir}/mlflow.db",
+        data_dir=os.path.join(workdir, "nodata"),
+    )
+    hp.update(overrides)
+    return hp
+
+
+def patch_micro_models(trainer_mod, data):
+    """Point the trainer at deterministic micro models + in-memory data.
+
+    Returns a restore() callable. Every process must construct identical
+    replicated values (JAX multi-process contract), exactly as every DDP
+    rank loads the same seed/checkpoint in the reference.
+    """
+    from qat_vit_tpu.models import create_model
+
+    orig = (
+        trainer_mod.create_student,
+        trainer_mod.create_teacher,
+        trainer_mod.load_cifar10,
+    )
+    trainer_mod.create_student = lambda *a, **k: create_model("vit_micro_test")
+    trainer_mod.create_teacher = lambda *a, **k: create_model("vit_micro_test")
+    trainer_mod.load_cifar10 = lambda *a, **k: (data, "synthetic")
+
+    def restore():
+        (
+            trainer_mod.create_student,
+            trainer_mod.create_teacher,
+            trainer_mod.load_cifar10,
+        ) = orig
+
+    return restore
+
 
 def main() -> None:
     rank = int(sys.argv[1])
@@ -51,36 +112,11 @@ def main() -> None:
     assert dist.rank == rank
 
     from qat_vit_tpu.data import synthetic_cifar10
-    from qat_vit_tpu.models import create_model
-    from qat_vit_tpu.train.config import DEFAULT_HPARAMS
     import qat_vit_tpu.train.trainer as trainer_mod
 
-    hp = dict(DEFAULT_HPARAMS)
-    hp.update(
-        lr=3e-3,
-        weight_decay=1e-4,
-        epochs=2,
-        qat_start_epoch=1,
-        batch_size=32,  # per-host -> global batch 64 over the 8-device mesh
-        eval_batch_size=64,
-        image_size=32,
-        output_dir=os.path.join(workdir, "out"),
-        mlflow_uri=f"sqlite:///{workdir}/mlflow.db",
-        data_dir=os.path.join(workdir, "nodata"),
-        limit_train_batches=3,
-        limit_eval_batches=2,
-        # strict-f32 step: the parent test compares losses against a
-        # single-process 8-device run at tight tolerance, so keep the
-        # deterministic parity mode rather than the bf16 default.
-        qat_amp=False,
-    )
-    # Deterministic micro models + dataset: every process must construct
-    # identical replicated values (JAX multi-process contract), exactly as
-    # every DDP rank loads the same seed/checkpoint in the reference.
-    data = synthetic_cifar10(n_train=256, n_test=128, seed=3)
-    trainer_mod.create_student = lambda *a, **k: create_model("vit_micro_test")
-    trainer_mod.create_teacher = lambda *a, **k: create_model("vit_micro_test")
-    trainer_mod.load_cifar10 = lambda *a, **k: (data, "synthetic")
+    hp = micro_hparams(workdir)
+    data = synthetic_cifar10(n_train=256, n_test=128, seed=DATA_SEED)
+    patch_micro_models(trainer_mod, data)
 
     result = trainer_mod.train_main(hp)
 

@@ -209,6 +209,31 @@ class TestFusedObserverTrajectory:
         )
         assert float(mn) == -3.0 and float(mx) == 5.0
 
+    def test_integer_input_dtype(self):
+        # public-API contract: integer tensors (no inf representation for
+        # the single-pass reduce's init) take the f32 path, not an
+        # OverflowError (regression: the in-dtype variadic-reduce rewrite)
+        mn, mx = update_moving_avg_minmax(
+            jnp.array(jnp.inf, jnp.float32),
+            jnp.array(-jnp.inf, jnp.float32),
+            jnp.arange(-4, 8, dtype=jnp.int32),
+        )
+        assert float(mn) == -4.0 and float(mx) == 7.0
+
+    def test_bf16_input_matches_f32_cast(self):
+        # reducing in the input dtype is bit-exact vs the cast-to-f32 form
+        # (min/max are order statistics)
+        x16 = jnp.array([-1.5, 0.25, 3.0, -7.0, 2.5], jnp.bfloat16)
+        mn, mx = update_moving_avg_minmax(
+            jnp.array(jnp.inf, jnp.float32),
+            jnp.array(-jnp.inf, jnp.float32),
+            x16,
+        )
+        x32 = x16.astype(jnp.float32)
+        assert float(mn) == float(jnp.min(x32))
+        assert float(mx) == float(jnp.max(x32))
+        assert mn.dtype == jnp.float32 and mx.dtype == jnp.float32
+
 
 class TestFakeQuantizerModule:
     def test_module_state_threading(self):

@@ -24,17 +24,68 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 import numpy as np
 
 from qat_vit_tpu.parallel.mesh import pick_free_port
+from multihost_worker import DATA_SEED, micro_hparams, patch_micro_models
 
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+_BIND_ERRORS = ("address already in use", "failed to bind", "bind failed")
+
+
+def _spawn_cluster(tmp_path, env, repo_root, timeout=900):
+    """Launch the 2-rank cluster; returns (returncodes, outputs).
+
+    Children write to files (a PIPE would wedge a chatty rank once the 64 KiB
+    pipe buffer fills and read as a spurious trainer deadlock), and on
+    timeout the kill is followed by a reap + log read so the assertion
+    message says which rank stalled where.
+    """
+    port = pick_free_port()
+    logs = [tmp_path / f"rank{r}.log" for r in (0, 1)]
+    procs = []
+    for rank in (0, 1):
+        with open(logs[rank], "wb") as logf:
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, _WORKER, str(rank), str(port),
+                     str(tmp_path)],
+                    stdout=logf,
+                    stderr=subprocess.STDOUT,
+                    cwd=repo_root,
+                    env=env,
+                )
+            )
+    deadline = time.monotonic() + timeout
+    timed_out = False
+    for p in procs:
+        try:
+            p.wait(timeout=max(1.0, deadline - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            for q in procs:
+                q.kill()
+            for q in procs:
+                q.wait()
+            break
+    outs = [lg.read_text(errors="replace") for lg in logs]
+    if timed_out:
+        tails = "\n".join(
+            f"--- rank {r} log tail ---\n{out[-3000:]}"
+            for r, out in enumerate(outs)
+        )
+        raise AssertionError(
+            "multi-host run timed out — eval/convert likely deadlocked a "
+            f"process (the round-1 failure mode)\n{tails}"
+        )
+    return [p.returncode for p in procs], outs
 
 
 class TestTwoProcessTrainMain:
     def test_full_pipeline_two_hosts(self, tmp_path):
-        port = pick_free_port()
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         env = dict(os.environ)
         # python <script> puts the script's dir (tests/) on sys.path, not the
@@ -43,31 +94,15 @@ class TestTwoProcessTrainMain:
         env["PYTHONPATH"] = os.pathsep.join(
             p for p in (env.get("PYTHONPATH", ""), repo_root) if p
         )
-        procs = [
-            subprocess.Popen(
-                [sys.executable, _WORKER, str(rank), str(port), str(tmp_path)],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
-                cwd=repo_root,
-                env=env,
-            )
-            for rank in (0, 1)
-        ]
-        outs = []
-        for p in procs:
-            try:
-                out, _ = p.communicate(timeout=900)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise AssertionError(
-                    "multi-host run timed out — eval/convert likely "
-                    "deadlocked a process (the round-1 failure mode)"
-                )
-            outs.append(out)
-        for p, out in zip(procs, outs):
-            assert p.returncode == 0, f"rank {procs.index(p)} failed:\n{out}"
+        rcs, outs = _spawn_cluster(tmp_path, env, repo_root)
+        if any(rcs) and any(
+            e in out.lower() for out in outs for e in _BIND_ERRORS
+        ):
+            # pick_free_port() races the coordinator's bind; one retry with a
+            # fresh port covers a stolen port without masking real failures.
+            rcs, outs = _spawn_cluster(tmp_path, env, repo_root)
+        for rank, (rc, out) in enumerate(zip(rcs, outs)):
+            assert rc == 0, f"rank {rank} failed:\n{out}"
 
         # -- 2. cross-rank agreement: the sharded eval/convert computations
         # are global, so both ranks must report bit-identical metrics.
@@ -101,43 +136,22 @@ class TestTwoProcessTrainMain:
         # slices (perm[r::2]) of one batch union to the single-host batch
         # (perm[0:64]); only intra-batch reduction order differs.
         from qat_vit_tpu.data import synthetic_cifar10
-        from qat_vit_tpu.models import create_model
-        from qat_vit_tpu.train.config import DEFAULT_HPARAMS
         import qat_vit_tpu.train.trainer as trainer_mod
 
-        hp = dict(DEFAULT_HPARAMS)
-        hp.update(
-            lr=3e-3,
-            weight_decay=1e-4,
-            epochs=2,
-            qat_start_epoch=1,
+        hp = micro_hparams(
+            str(tmp_path),
             batch_size=64,  # one host -> same global batch as 2x32
             eval_batch_size=128,
-            image_size=32,
+            limit_eval_batches=1,  # 1x128 images = the workers' 2x64
             output_dir=str(tmp_path / "out_1host"),
             mlflow_uri=f"sqlite:///{tmp_path}/mlflow_1host.db",
-            data_dir=str(tmp_path / "nodata"),
-            limit_train_batches=3,
-            limit_eval_batches=1,  # 1x128 images = the workers' 2x64
-            qat_amp=False,
         )
-        data = synthetic_cifar10(n_train=256, n_test=128, seed=3)
-        orig = (
-            trainer_mod.create_student,
-            trainer_mod.create_teacher,
-            trainer_mod.load_cifar10,
-        )
-        trainer_mod.create_student = lambda *a, **k: create_model("vit_micro_test")
-        trainer_mod.create_teacher = lambda *a, **k: create_model("vit_micro_test")
-        trainer_mod.load_cifar10 = lambda *a, **k: (data, "synthetic")
+        data = synthetic_cifar10(n_train=256, n_test=128, seed=DATA_SEED)
+        restore = patch_micro_models(trainer_mod, data)
         try:
             res1 = trainer_mod.train_main(hp)
         finally:
-            (
-                trainer_mod.create_student,
-                trainer_mod.create_teacher,
-                trainer_mod.load_cifar10,
-            ) = orig
+            restore()
 
         for e2, e1 in zip(r0, res1["results"]):
             # Not bit-equal: the 2-host global batch interleaves the sampler
