@@ -314,10 +314,15 @@ def block_forward(
     return x_out[:bb], zq_out[:bb]
 
 
-def megablock_available(num_heads: int, head_dim: int) -> bool:
+def megablock_shapes_ok(num_heads: int, head_dim: int) -> bool:
+    """Shape preconditions alone (backend-independent; serving_preset uses
+    this to pick a path before the backend check)."""
     d = num_heads * head_dim
+    return d % _LANE == 0 and head_dim <= _LANE and _LANE % head_dim == 0
+
+
+def megablock_available(num_heads: int, head_dim: int) -> bool:
     return (
         jax.default_backend() == "tpu"
-        and d % _LANE == 0
-        and head_dim <= _LANE
+        and megablock_shapes_ok(num_heads, head_dim)
     )

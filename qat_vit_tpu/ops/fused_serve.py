@@ -24,7 +24,7 @@ hierarchy rather than a translation of any torch pass structure.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -139,7 +139,6 @@ def _pad_rows(x, tile_m):
 
 @partial(jax.jit, static_argnames=("tile_m", "out_dtype", "interpret"))
 def _run_plain(x_q, w_q, colsum, bias, ws, qs, *, tile_m, out_dtype, interpret):
-    m = x_q.shape[0]
     k, n = w_q.shape
     x_q, m_orig = _pad_rows(x_q, tile_m)
     grid = (x_q.shape[0] // tile_m,)
@@ -360,8 +359,12 @@ def ln_quantize(
     return q.reshape(*lead, n)
 
 
+def fused_serve_shapes_ok(k: int, n: int) -> bool:
+    """Shape preconditions alone (backend-independent; serving_preset uses
+    this to pick a path before the backend check)."""
+    return k % _INT8_SUBLANE == 0 and n % _LANE == 0
+
+
 def fused_serve_available(k: int, n: int) -> bool:
     """Shape gate (fallback: the XLA composition)."""
-    if jax.default_backend() != "tpu":
-        return False
-    return k % _INT8_SUBLANE == 0 and n % _LANE == 0
+    return jax.default_backend() == "tpu" and fused_serve_shapes_ok(k, n)

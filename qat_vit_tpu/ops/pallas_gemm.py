@@ -82,7 +82,10 @@ def _fused_2d(
 ) -> jnp.ndarray:
     m, k = x.shape
     n = w_q.shape[1]
-    tile_m = min(_TILE_M, max(_LANE, m))
+    # tile_m must be sublane-aligned: round m UP to the lane multiple before
+    # clamping (m=197 must not become a 197-row block — Mosaic rejects it;
+    # the rows are padded below and the pad sliced off the output)
+    tile_m = min(_TILE_M, max(_LANE, -(-m // _LANE) * _LANE))
     m_pad = -(-m // tile_m) * tile_m
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))

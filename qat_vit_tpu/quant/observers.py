@@ -68,7 +68,10 @@ def update_moving_avg_minmax(
     computes both in a single pass over the tensor (isolated A/B on the
     [256,197,384] bf16 site shape: 0.169 ms vs 0.250 ms for the round-1
     cast-to-f32 + two-reduction form; docs/BENCHMARKS.md round 2).
+    Integer inputs (no ``inf`` representation) take the f32 path.
     """
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
     batch_min, batch_max = jax.lax.reduce(
         (x, x),
         (jnp.asarray(jnp.inf, x.dtype), jnp.asarray(-jnp.inf, x.dtype)),

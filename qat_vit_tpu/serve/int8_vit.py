@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from qat_vit_tpu.models.vit import ViTConfig
-from qat_vit_tpu.ops.quantized_matmul import quantized_dense
+from qat_vit_tpu.ops.quantized_matmul import (
+    quantize_act_shifted,
+    quantized_dense,
+)
 from qat_vit_tpu.quant.convert import (
     act_output_qparams,
     act_qparams,
@@ -121,6 +124,20 @@ def _layernorm(
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     return (y * ln["scale"] + ln["bias"]).astype(out_dtype)
+
+
+def _ln_quantize_xla(y: jnp.ndarray, ln: Dict[str, Any], out_q: Dict[str, Any],
+                     eps: float) -> jnp.ndarray:
+    """Float stream -> LN (f32 stats) -> int8, one XLA elementwise fusion.
+
+    The single definition of the LN->quantize seam shared by the fused and
+    megablock entry paths (the quantize grid is ~scale/255, far coarser than
+    the bf16 stream, so storage dtype costs no int8 accuracy)."""
+    y32 = y.astype(jnp.float32)
+    mean = jnp.mean(y32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
+    z = (y32 - mean) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
+    return quantize_act_shifted(z, out_q["scale"], out_q["zero_point"])
 
 
 def _extract_patches(x: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -249,6 +266,7 @@ def _fused_blocks(
     passes). GELU is the tanh approx in both modes (error far below the int8
     grid step; serve_bench rationale)."""
     from qat_vit_tpu.ops.flash_attention import (
+        flash_attention_qkv,
         fused_attention_qkv,
         xla_attention_qkv,
     )
@@ -258,9 +276,22 @@ def _fused_blocks(
         int8_dense_resid_ln_q,
         ln_quantize,
     )
-    from qat_vit_tpu.ops.quantized_matmul import quantize_act_shifted
-
     from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
+
+    if mode.startswith("megablock"):
+        parts = mode.split(":")
+        bb = int(parts[1]) if len(parts) > 1 and parts[1] else 4
+        tight = len(parts) > 2 and parts[2] == "tight"
+        return _megablock_stack(
+            qp, x, cfg, compute_dtype=compute_dtype, block_b=bb,
+            pad_multiple=32 if tight else 128,
+        )
+    _MODES = ("pallas", "mixed", "mixed_qkv", "mixed_fc1", "mixed_none")
+    if mode not in _MODES:
+        raise ValueError(
+            f"unknown fused mode {mode!r}; expected one of {_MODES} or "
+            "'megablock[:BLOCK_B[:tight]]'"
+        )
 
     h_heads, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
@@ -268,14 +299,14 @@ def _fused_blocks(
     mixed = mode.startswith("mixed")
     pallas_qkv = mode in ("mixed", "mixed_qkv")
     pallas_fc1 = mode in ("mixed", "mixed_fc1")
-
-    if mode.startswith("megablock"):
-        parts = mode.split(":")
-        bb = int(parts[1]) if len(parts) > 1 and parts[1] else 4
-        tight = len(parts) > 2 and parts[2] == "tight"
-        return _megablock_stack(
-            qp, x, cfg, compute_dtype=cdt, block_b=bb,
-            pad_multiple=32 if tight else 128,
+    if cfg.act != "gelu" and (pallas_fc1 or not mixed):
+        # the Pallas fc1 epilogue and the all-Pallas chain bake in tanh-GELU;
+        # quick-GELU (OWLv2/CLIP) must keep fc1's activation in XLA, where
+        # it is computed exactly (convert's gelu_q qparams assume it).
+        raise NotImplementedError(
+            f"fused mode {mode!r} computes in-kernel tanh GELU; "
+            f"act={cfg.act!r} models need 'mixed_none'/'mixed_qkv' (or the "
+            "exact path)"
         )
 
     def xla_dense(x_q, layer, in_q, out_dtype=cdt):
@@ -287,12 +318,7 @@ def _fused_blocks(
         )
 
     def xla_ln_q(y, ln, out_q):
-        """bf16 stream -> LN(f32 stats) -> int8, one XLA elementwise fusion."""
-        y32 = y.astype(jnp.float32)
-        mean = jnp.mean(y32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
-        z = (y32 - mean) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
-        return quantize_act_shifted(z, out_q["scale"], out_q["zero_point"])
+        return _ln_quantize_xla(y, ln, out_q, eps)
 
     blk0 = qp["blocks"]["0"]
     if mixed:
@@ -314,9 +340,15 @@ def _fused_blocks(
                 out_q=blk["qkv"]["out_q"],
             )
         else:
-            o = xla_attention_qkv(
-                qkv.astype(attn_dtype), h_heads, hd, softmax_dtype=attn_dtype
-            ).astype(cdt)
+            if attn_impl == "pallas":
+                o = flash_attention_qkv(
+                    qkv.astype(attn_dtype), h_heads, hd
+                ).astype(cdt)
+            else:
+                o = xla_attention_qkv(
+                    qkv.astype(attn_dtype), h_heads, hd,
+                    softmax_dtype=attn_dtype,
+                ).astype(cdt)
             o_q = quantize_act_shifted(
                 o, blk["qkv"]["out_q"]["scale"],
                 blk["qkv"]["out_q"]["zero_point"],
@@ -340,7 +372,14 @@ def _fused_blocks(
                 )
             else:
                 f1 = xla_dense(zq2, blk["fc1"], blk["norm2"]["out_q"])
-                g = jax.nn.gelu(f1, approximate=True)
+                if cfg.act == "quick_gelu":
+                    # the activation the model was trained/converted with
+                    # (x*sigmoid(1.702x)); tanh-GELU differs by up to ~0.02
+                    # here — on the order of the int8 grid step that follows
+                    f32 = f1.astype(jnp.float32)
+                    g = (f32 * jax.nn.sigmoid(1.702 * f32)).astype(f1.dtype)
+                else:
+                    g = jax.nn.gelu(f1, approximate=True)
                 g_q = quantize_act_shifted(
                     g, blk["gelu_q"]["scale"], blk["gelu_q"]["zero_point"]
                 )
@@ -397,10 +436,7 @@ def _megablock_stack(
     conversions at the boundaries. Sequence padded to the lane multiple once.
     """
     from qat_vit_tpu.ops.block_kernel import block_forward
-    from qat_vit_tpu.ops.quantized_matmul import (
-        int8_matmul_xla,
-        quantize_act_shifted,
-    )
+    from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
 
     if cfg.act != "gelu":
         raise NotImplementedError(
@@ -416,14 +452,7 @@ def _megablock_stack(
     x = x.astype(compute_dtype)
 
     blk0 = qp["blocks"]["0"]
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    z = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    z = z * blk0["norm1"]["scale"] + blk0["norm1"]["bias"]
-    zq = quantize_act_shifted(
-        z, blk0["norm1"]["out_q"]["scale"], blk0["norm1"]["out_q"]["zero_point"]
-    )
+    zq = _ln_quantize_xla(x, blk0["norm1"], blk0["norm1"]["out_q"], eps)
 
     for i in range(cfg.depth):
         blk = qp["blocks"][str(i)]
@@ -452,6 +481,30 @@ def _megablock_stack(
     return logits.astype(jnp.float32)
 
 
+def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
+    """Kernel-path selection for :func:`serving_preset`, gated on the Pallas
+    kernels' shape preconditions (backend-independent — testable on CPU).
+
+    Falls back one rung at a time: megablock (gelu, lane-aligned width) →
+    mixed chain with the fused attention kernel (same head-slab geometry) →
+    plain XLA int8 path (the bf16 + tanh-GELU variant, shape-safe for any
+    geometry)."""
+    from qat_vit_tpu.ops.block_kernel import megablock_shapes_ok
+
+    d = cfg.num_heads * cfg.head_dim
+    # the fused attention kernel tiles heads into 128-lane slabs with the
+    # same divisibility requirements as the megablock kernel
+    attn_ok = megablock_shapes_ok(cfg.num_heads, cfg.head_dim)
+    if cfg.act == "gelu" and attn_ok:
+        return {"fused": "megablock:4:tight"}
+    if attn_ok:
+        # quick-GELU models keep fc1's activation in XLA (mixed_none computes
+        # the exact trained activation there); the Pallas GEMM epilogues bake
+        # in tanh-GELU, so they are gelu-only
+        return {"fused": "mixed_none", "attn_impl": "pallas_fused"}
+    return {}
+
+
 def serving_preset(cfg: ViTConfig) -> Dict[str, Any]:
     """Measured-best serving options for the current backend.
 
@@ -460,28 +513,22 @@ def serving_preset(cfg: ViTConfig) -> Dict[str, Any]:
     with the sequence padded only to the 32-sublane multiple (197→224) —
     6,557 (round 1) → 10,533 (fused seams) → **12,744 img/s**. Quick-GELU
     models (OWLv2) use the mixed int8-handoff chain + fused Pallas attention
-    instead (megablock's in-kernel epilogue is tanh-GELU only). Elsewhere
-    (CPU tests, interpret mode): the exact defaults. Accuracy: every option
-    is validated against the exact path (argmax agreement on micro models in
-    tests/test_fused_serve.py; full-scale int8 top-1 cross-check in
-    scripts/accuracy_loop.py).
+    instead (megablock's in-kernel epilogue is tanh-GELU only); geometries
+    the Pallas kernels' shape gates reject fall back to the plain XLA int8
+    path in bf16. Elsewhere (CPU tests, interpret mode): the exact defaults.
+    Accuracy: every option is validated against the exact path (argmax
+    agreement on micro models in tests/test_fused_serve.py; full-scale int8
+    top-1 cross-check in scripts/accuracy_loop.py).
     """
     if jax.default_backend() != "tpu":
         return {}
-    if cfg.act != "gelu":
-        return {
-            "attn_dtype": jnp.bfloat16,
-            "compute_dtype": jnp.bfloat16,
-            "gelu_approx": True,
-            "fused": "mixed_none",
-            "attn_impl": "pallas_fused",
-        }
-    return {
+    opts: Dict[str, Any] = {
         "attn_dtype": jnp.bfloat16,
         "compute_dtype": jnp.bfloat16,
         "gelu_approx": True,
-        "fused": "megablock:4:tight",
     }
+    opts.update(_preset_kernel_opts(cfg))
+    return opts
 
 
 def make_int8_forward(

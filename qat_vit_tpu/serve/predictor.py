@@ -34,8 +34,11 @@ class Int8Predictor:
     qparams: Dict[str, Any]
     cfg: ViTConfig
     batch_size: int = 256
-    compute_dtype: Any = jnp.bfloat16
-    attn_dtype: Any = jnp.bfloat16
+    # None = auto (the preset's choice on TPU, bf16 otherwise); an explicit
+    # dtype always wins over the preset — e.g. compute_dtype=jnp.float32 for
+    # an accuracy cross-check keeps f32 even with preset=True.
+    compute_dtype: Any = None
+    attn_dtype: Any = None
     preset: bool = True  # measured-best serving options (serving_preset)
     # data-parallel serving over a device mesh: the batch is sharded over
     # the mesh's first axis, qparams replicated — XLA compiles one SPMD
@@ -50,10 +53,15 @@ class Int8Predictor:
         prep = preprocess_fn(self.cfg.image_size)
         cfg = self.cfg
         opts: Dict[str, Any] = {
-            "attn_dtype": self.attn_dtype, "compute_dtype": self.compute_dtype,
+            "attn_dtype": jnp.bfloat16, "compute_dtype": jnp.bfloat16,
         }
         if self.preset:
             opts.update(serving_preset(cfg))
+        # explicit constructor dtypes override the preset (None = auto)
+        if self.attn_dtype is not None:
+            opts["attn_dtype"] = self.attn_dtype
+        if self.compute_dtype is not None:
+            opts["compute_dtype"] = self.compute_dtype
 
         def apply(qp, images_u8):
             x = prep(images_u8)
@@ -105,12 +113,32 @@ class Int8Predictor:
     def serve_stream(
         self, batches: Iterator[np.ndarray]
     ) -> Iterator[np.ndarray]:
-        """Pipelined streaming inference: dispatch batch k+1 while k computes."""
+        """Pipelined streaming inference: dispatch batch k+1 while k computes.
+
+        Ragged batches are padded to ``batch_size`` (and the output sliced
+        back) so every dispatch reuses the one compiled program — a partial
+        final batch must not trigger a fresh multi-minute jit compile.
+        """
         pending = None
+        pending_n = 0
         for batch in batches:
+            n = len(batch)
+            if n > self.batch_size:
+                # oversize batch: drain the pipeline and run it chunked via
+                # logits() (same compiled program), one yield per input batch
+                if pending is not None:
+                    yield np.asarray(pending)[:pending_n]
+                    pending = None
+                yield self.logits(batch)
+                continue
+            pad = self.batch_size - n
+            if pad > 0:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)]
+                )
             out = self._fwd(self.qparams, jnp.asarray(batch))
             if pending is not None:
-                yield np.asarray(pending)
-            pending = out
+                yield np.asarray(pending)[:pending_n]
+            pending, pending_n = out, n
         if pending is not None:
-            yield np.asarray(pending)
+            yield np.asarray(pending)[:pending_n]

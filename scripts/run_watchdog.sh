@@ -40,13 +40,15 @@ while [ "$restarts" -le "$MAX_RESTARTS" ]; do
     fi
     last_cpu=$cpu
   done
-  if wait "$pid" 2>/dev/null; then
+  # capture wait's status DIRECTLY: `rc=$?` after an if-statement reads the
+  # if-block's status (0 when the condition is false and there is no else),
+  # which made stall-kills exit 0 here instead of restarting
+  wait "$pid" 2>/dev/null
+  rc=$?
+  if [ "$rc" -eq 0 ]; then
     echo "[watchdog] job finished cleanly" >> "$LOG"
     exit 0
   fi
-  rc=$?
-  # normal completion path also lands here if wait returned non-zero
-  if [ "$rc" -eq 0 ]; then exit 0; fi
   echo "[watchdog] exit rc=$rc; cooldown ${COOLDOWN}s then restart" >> "$LOG"
   sleep "$COOLDOWN"
   restarts=$((restarts + 1))

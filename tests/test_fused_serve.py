@@ -200,3 +200,85 @@ class TestFusedAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+def _quick_gelu_export(batch=6):
+    """Micro CLIP-style tower (pre-norm, quick-GELU, bias-free patch embed)
+    observed + converted — the OWLv2 serving geometry at test scale."""
+    import flax.linen as nn
+
+    from qat_vit_tpu.models.registry import _vit_factory
+    from qat_vit_tpu.serve.int8_vit import convert_vit
+
+    arch = dict(
+        embed_dim=128, depth=2, num_heads=2, image_size=32, patch_size=8,
+        pre_norm=True, act="quick_gelu", patch_bias=False,
+    )
+    m = _vit_factory(arch, "owlv2_micro")(num_classes=10, qat_wrapper=True)
+    rng = np.random.default_rng(7)
+    v = nn.meta.unbox(
+        m.module.init(jax.random.key(0), m.example_input(1), observe=False)
+    )
+    x = jnp.asarray(
+        rng.normal(size=(batch,) + m.example_input(1).shape[1:]).astype(
+            np.float32
+        )
+    )
+    _, mut = m.module.apply(
+        {"params": v["params"], "quant_stats": v["quant_stats"]},
+        x, observe=True, mutable=["quant_stats"],
+    )
+    qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
+    return qp, x, m.cfg
+
+
+class TestServingModeSelection:
+    def test_quick_gelu_mixed_none_matches_exact(self):
+        """The fused int8-handoff chain must compute the model's trained
+        activation (x*sigmoid(1.702x)), not tanh-GELU — the convert-time
+        gelu_q qparams assume it (regression: quick-GELU models routed to
+        'mixed_none' got tanh-GELU)."""
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export()
+        base = int8_apply(qp, x, cfg)  # exact path: quick-GELU in f32
+        fused = int8_apply(qp, x, cfg, fused="mixed_none")
+        assert (base.argmax(-1) == fused.argmax(-1)).all()
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(base), rtol=1e-4, atol=1e-4
+        )
+
+    def test_quick_gelu_inkernel_modes_raise(self):
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=2)
+        for mode in ("mixed", "mixed_fc1", "pallas"):
+            with pytest.raises(NotImplementedError):
+                int8_apply(qp, x, cfg, fused=mode)
+        with pytest.raises(NotImplementedError):
+            int8_apply(qp, x, cfg, fused="megablock:4:tight")
+
+    def test_unknown_fused_mode_raises(self):
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=2)
+        with pytest.raises(ValueError, match="unknown fused mode"):
+            int8_apply(qp, x, cfg, fused="megablok:4")
+
+    def test_preset_kernel_opts_gating(self):
+        """serving_preset must only select Pallas paths whose shape
+        preconditions hold (regression: the availability gates had no
+        callers and lane-misaligned models crashed at serve time)."""
+        from qat_vit_tpu.models.vit import ViTConfig
+        from qat_vit_tpu.serve.int8_vit import _preset_kernel_opts
+
+        aligned_gelu = ViTConfig(embed_dim=384, num_heads=6)  # ViT-S
+        assert _preset_kernel_opts(aligned_gelu)["fused"].startswith(
+            "megablock"
+        )
+        aligned_qg = ViTConfig(embed_dim=768, num_heads=12, act="quick_gelu")
+        opts = _preset_kernel_opts(aligned_qg)
+        assert opts == {"fused": "mixed_none", "attn_impl": "pallas_fused"}
+        # ViT-Ti geometry: d=192 is lane-misaligned -> plain XLA path
+        misaligned = ViTConfig(embed_dim=192, num_heads=3)
+        assert _preset_kernel_opts(misaligned) == {}

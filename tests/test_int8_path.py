@@ -246,6 +246,12 @@ class TestConvertAndServe:
         # streaming path
         outs = list(pred.serve_stream(iter([imgs[:16], imgs[16:32]])))
         assert len(outs) == 2 and outs[0].shape == (16, 10)
+        # ragged + oversize stream batches: padded/chunked onto the one
+        # compiled program (a partial batch must not trigger a recompile),
+        # outputs match the batched path exactly
+        ragged = list(pred.serve_stream(iter([imgs[:5], imgs[5:7], imgs[7:]])))
+        assert [o.shape[0] for o in ragged] == [5, 2, 30]
+        np.testing.assert_array_equal(np.concatenate(ragged), logits)
 
     def test_predictor_mesh_serving(self, tmp_path):
         """Data-parallel serving mesh: sharded logits == single-device
