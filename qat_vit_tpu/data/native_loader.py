@@ -116,7 +116,14 @@ def gather_batch(
 
 
 def shuffle_indices(n: int, seed: int) -> np.ndarray:
-    """Native Fisher-Yates permutation (numpy fallback uses default_rng)."""
+    """Native Fisher-Yates permutation (numpy fallback uses default_rng).
+
+    Standalone utility only: the training pipeline (pipeline.epoch_indices /
+    ArrayLoader) deliberately does NOT use it — it shuffles with numpy's
+    default_rng so the permutation sequence is bit-identical whether or not
+    the native plane compiled (shuffle determinism must not depend on an
+    optional .so; the native plane's product role is gather_batch below).
+    """
     lib = load_native()
     if lib is not None:
         out = np.empty((n,), np.int64)

@@ -39,7 +39,11 @@ def epoch_indices(
 ) -> np.ndarray:
     """Per-epoch, per-host index shard with torch DistributedSampler semantics
     (reference qat_trainer.py:224-226, 296-297): epoch-seeded permutation,
-    pad-by-wraparound to a common length, rank-strided slice."""
+    pad-by-wraparound to a common length, rank-strided slice.
+
+    Shuffles with numpy's RNG on purpose (not native_loader.shuffle_indices):
+    the permutation sequence must be identical with or without the optional
+    native plane — only the index *gather* is offloaded to C++."""
     if shuffle:
         g = np.random.default_rng(seed + epoch)
         indices = g.permutation(n)

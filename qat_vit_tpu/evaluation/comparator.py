@@ -28,6 +28,9 @@ class CompareItem:
     ckpt: Optional[str] = None
     qat_wrapper: bool = False
     int8: bool = False
+    # backend the checkpoint was trained with (activation ranges differ:
+    # qnnpack [0,255] vs fbgemm [0,127])
+    qat_backend: str = "qnnpack"
 
 
 def compare_checkpoints(
@@ -44,7 +47,7 @@ def compare_checkpoints(
             acc = evaluate_checkpoint(
                 item.model, item.ckpt, qat_wrapper=item.qat_wrapper,
                 int8=item.int8, data_dir=data_dir, batch_size=batch_size,
-                limit_batches=limit_batches,
+                limit_batches=limit_batches, qat_backend=item.qat_backend,
             )
             results.append({"name": item.name, "acc": acc, "error": None})
         except Exception as e:  # per-row tolerance
@@ -74,6 +77,9 @@ def main(argv=None) -> None:
     p.add_argument("--data-dir", default="./data")
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--limit-batches", type=int, default=0)
+    p.add_argument("--qat-backend", default="qnnpack",
+                   choices=("qnnpack", "fbgemm"),
+                   help="backend the checkpoints were trained with")
     args = p.parse_args(argv)
 
     items = []
@@ -81,9 +87,11 @@ def main(argv=None) -> None:
         items.append(CompareItem("teacher", "vit_base_patch16_224_teacher",
                                  args.teacher_ckpt))
     items.append(CompareItem("student_qat", args.model,
-                             args.qat_ckpt, qat_wrapper=True))
+                             args.qat_ckpt, qat_wrapper=True,
+                             qat_backend=args.qat_backend))
     items.append(CompareItem("student_quant", args.model,
-                             args.quant_ckpt, int8=True))
+                             args.quant_ckpt, int8=True,
+                             qat_backend=args.qat_backend))
     results = compare_checkpoints(items, args.data_dir, args.batch_size,
                                   args.limit_batches)
     print(format_table(results))

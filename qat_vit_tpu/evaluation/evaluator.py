@@ -78,11 +78,23 @@ def evaluate_checkpoint(
     batch_size: int = 512,
     limit_batches: int = 0,
     num_classes: int = 10,
+    qat_backend: str = "qnnpack",
 ) -> float:
     """Create → load → evaluate (reference evaluate_checkpoint,
-    evaluator.py:59-101), with tolerant loading via checkpoint templates."""
+    evaluator.py:59-101), with tolerant loading via checkpoint templates.
+
+    ``qat_backend`` must match the backend the checkpoint was TRAINED with
+    (best_params.yaml / effective_hparams.yaml record it): the backends use
+    different activation ranges (qnnpack [0,255], fbgemm [0,127]), and the
+    loaded min/max stats would otherwise silently produce scales on the
+    wrong grid.
+    """
+    quantized = qat_wrapper or int8
+    from qat_vit_tpu.quant.qconfig import default_qat_qconfig
+
     bundle: ModelBundle = create_model(
-        model_name, num_classes=num_classes, qat_wrapper=qat_wrapper or int8
+        model_name, num_classes=num_classes, qat_wrapper=quantized,
+        **({"quant": default_qat_qconfig(qat_backend)} if quantized else {}),
     )
     cfg = bundle.cfg
     loader = build_cifar10_loader(data_dir, batch_size, limit_batches)
@@ -113,6 +125,10 @@ def evaluate_checkpoint(
     if ckpt_path is not None:
         restored = load_checkpoint(ckpt_path)  # raw nested dicts
         variables, _, _ = tolerant_merge(dict(variables), restored)
+    # one upload: tolerant_merge leaves host numpy arrays, and a host tree
+    # passed to jit re-transfers the full ~88 MB parameter set every batch
+    # (dominates eval wall-clock over the tunneled TPU link)
+    variables = jax.device_put(variables)
 
     def apply_fn(vs, x):
         return bundle.module.apply(vs, x, observe=False)
@@ -140,11 +156,15 @@ def main(argv=None) -> None:
     p.add_argument("--data-dir", default="./data")
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--limit-batches", type=int, default=0)
+    p.add_argument("--qat-backend", default="qnnpack",
+                   choices=("qnnpack", "fbgemm"),
+                   help="backend the checkpoint was trained with "
+                        "(see effective_hparams.yaml)")
     args = p.parse_args(argv)
     acc = evaluate_checkpoint(
         args.model, args.ckpt, qat_wrapper=args.qat_wrapper, int8=args.int8,
         data_dir=args.data_dir, batch_size=args.batch_size,
-        limit_batches=args.limit_batches,
+        limit_batches=args.limit_batches, qat_backend=args.qat_backend,
     )
     print(f"top1_acc={acc:.4f}")
 

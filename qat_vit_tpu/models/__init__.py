@@ -5,7 +5,6 @@ Mirrors the public surface of the reference's ``src/models`` package
 """
 
 from qat_vit_tpu.models.registry import (
-    PLATFORM,
     ModelBundle,
     create_model,
     create_student,
@@ -55,3 +54,14 @@ __all__ = [
     "register_model",
     "timm_vit_to_params",
 ]
+
+
+def __getattr__(name: str):
+    # lazy PLATFORM passthrough (see registry.__getattr__): resolving it
+    # instantiates the JAX backend, which must not happen at import time on
+    # the single-client TPU tunnel
+    if name == "PLATFORM":
+        from qat_vit_tpu.models import registry
+
+        return registry.PLATFORM
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

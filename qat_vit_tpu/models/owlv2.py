@@ -112,10 +112,11 @@ def build_owlv2_student_torch(
     except Exception as e:  # pragma: no cover - env-dependent
         raise RuntimeError("owlv2 models require the `transformers` package") from e
 
-    pruned = prune_owlv2_geometry(
+    # prune_owlv2_geometry returns a full copy of the base dict with the
+    # pruned fields overwritten — no re-merge needed
+    vision = prune_owlv2_geometry(
         OWLV2_BASE_VISION, depth_ratio, width_ratio, head_ratio
     )
-    vision = {**OWLV2_BASE_VISION, **pruned}
     config = Owlv2Config(
         text_config=dict(OWLV2_BASE_TEXT),
         vision_config=vision,

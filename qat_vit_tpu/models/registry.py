@@ -47,7 +47,14 @@ def is_tpu() -> bool:
     return get_platform() == "tpu"
 
 
-PLATFORM = get_platform()
+def __getattr__(name: str):
+    # PLATFORM is computed lazily (PEP 562): jax.default_backend()
+    # INSTANTIATES the backend client, and on the single-client TPU tunnel a
+    # module-level constant would claim the TPU at import time from processes
+    # that only need host-side code (checkpoint conversion, SearchConfig, …).
+    if name == "PLATFORM":
+        return get_platform()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 # Optional-dependency gating (ref model_registry.py:77-84 gates transformers).
@@ -327,14 +334,22 @@ _GFLOPS = {
 
 def get_model_complexity(name: str) -> Dict[str, Any]:
     """Parameter count + GFLOPs estimate (ref :443-457)."""
-    bundle = create_model(name) if name in _MODEL_REGISTRY else None
-    if bundle is None:
+    if name not in _MODEL_REGISTRY:
         raise ValueError(f"unknown model {name!r}")
-    if not isinstance(bundle, ModelBundle):
+    if not _MODEL_INFO[name]["tpu_compatible"]:
+        # reject from metadata BEFORE construction: building a torch entry
+        # runs a multi-GB pretrained download just to throw it away (and on
+        # TPU hosts create_model would raise a misleading platform error)
         raise ValueError(
             f"model {name!r} constructs an external (torch) module; "
             "complexity accounting is defined for Flax ModelBundles only — "
             "use the non-_torch registry entry"
+        )
+    bundle = create_model(name)
+    if not isinstance(bundle, ModelBundle):
+        raise ValueError(
+            f"model {name!r} did not construct a Flax ModelBundle; "
+            "complexity accounting is defined for ModelBundles only"
         )
     cfg = bundle.cfg
     import numpy as np

@@ -30,6 +30,11 @@ import jax.numpy as jnp
 
 # torch.finfo(torch.float32).eps — the scale floor torch applies.
 FLOAT32_EPS = 1.1920928955078125e-07
+# FBGEMM's ChooseQuantizationParams scale floor (quant_utils.h
+# SMALL_SCALE_THRESHOLD), applied by torch's FUSED QAT kernel — the
+# convert-time observers floor at FLOAT32_EPS instead. Exact f32 value
+# of the 6.1e-5 literal.
+SMALL_SCALE_THRESHOLD = 6.0999998822808266e-05
 
 # torch MovingAverageMinMaxObserver default averaging constant.
 DEFAULT_AVERAGING_CONSTANT = 0.01
@@ -138,23 +143,37 @@ def qparams_fused_affine(
 
     torch's ``fused_moving_avg_obs_fake_quant`` C++ kernel derives qparams via
     ``quant_utils::ChooseQuantizationParams``, which picks the zero-point from
-    whichever end (min or max) has the smaller nudging error. For uint8
-    activations with ``quant_min=0`` this coincides with :func:`qparams_affine`
-    (verified empirically over randomized inputs vs torch 2.13); implemented
-    in full generality anyway so non-zero ``quant_min`` ranges stay correct.
+    whichever end (min or max) has the smaller nudging error, and floors the
+    scale at FBGEMM's ``SMALL_SCALE_THRESHOLD`` (zero-point from the
+    un-floored proportions). For uint8 activations with ``quant_min=0`` and
+    range > ~0.0156 this coincides with :func:`qparams_affine`; narrower
+    ranges diverge (the observer floors at eps, the fused kernel at 6.1e-5 —
+    fuzz-verified vs torch 2.13 incl. the floor, tests/test_fake_quant.py).
     """
     min_val = jnp.where(jnp.isinf(min_val), 0.0, min_val)
     max_val = jnp.where(jnp.isinf(max_val), 0.0, max_val)
     min_neg = jnp.minimum(min_val, 0.0)
     max_pos = jnp.maximum(max_val, 0.0)
-    scale = (max_pos - min_neg) / float(quant_max - quant_min)
-    scale = jnp.maximum(scale, FLOAT32_EPS)
-    zp_from_min = quant_min - min_neg / scale
-    zp_from_max = quant_max - max_pos / scale
-    err_min = jnp.abs(float(quant_min)) - jnp.abs(min_neg / scale)
-    err_max = jnp.abs(float(quant_max)) - jnp.abs(max_pos / scale)
+    org_scale = (max_pos - min_neg) / float(quant_max - quant_min)
+    # FBGEMM floors: 0.1 for a zero range, SMALL_SCALE_THRESHOLD (6.1e-5)
+    # otherwise — but the zero-point is chosen from the UN-floored
+    # proportions (ChooseQuantizationParams rescales min/max by
+    # threshold/org_scale when flooring, which preserves min/scale exactly;
+    # verified vs torch 2.13: range [-0.004, 0.004] -> scale 6.1e-5, zp 128,
+    # not the zp 65 the floored ratio would give).
+    zero_range = org_scale == 0.0
+    safe = jnp.where(zero_range, 1.0, org_scale)
+    rmin = min_neg / safe
+    rmax = max_pos / safe
+    zp_from_min = quant_min - rmin
+    zp_from_max = quant_max - rmax
+    err_min = jnp.abs(float(quant_min)) - jnp.abs(rmin)
+    err_max = jnp.abs(float(quant_max)) - jnp.abs(rmax)
     zero_point = jnp.where(err_min < err_max, zp_from_min, zp_from_max)
     zero_point = jnp.clip(jnp.round(zero_point), quant_min, quant_max)
+    scale = jnp.where(
+        zero_range, 0.1, jnp.maximum(org_scale, SMALL_SCALE_THRESHOLD)
+    )
     return scale.astype(jnp.float32), zero_point.astype(jnp.float32)
 
 
@@ -189,7 +208,9 @@ def qparams_fused_symmetric(
     scale_sym = jnp.maximum(-min_val / -float(sym_qmin), max_val / float(sym_qmax))
     # one-sided branch: the plain affine rule
     scale_aff, zp_aff = qparams_fused_affine(min_val, max_val, quant_min, quant_max)
-    scale = jnp.where(both_signs, jnp.maximum(scale_sym, FLOAT32_EPS), scale_aff)
+    scale = jnp.where(
+        both_signs, jnp.maximum(scale_sym, SMALL_SCALE_THRESHOLD), scale_aff
+    )
     zero_point = jnp.where(both_signs, 0.0, zp_aff)
     return scale.astype(jnp.float32), zero_point.astype(jnp.float32)
 

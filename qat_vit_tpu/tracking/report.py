@@ -15,7 +15,9 @@ from qat_vit_tpu.tracking.tracker import SqliteTracker
 
 
 def summarize(uri: str, experiment: str) -> dict:
-    t = SqliteTracker(uri, experiment)
+    # create=False: summarizing is a read; a misspelled experiment must
+    # error with the known names, not be silently created in the store
+    t = SqliteTracker(uri, experiment, create=False)
     runs = t.runs()
     out = {"experiment": experiment, "n_runs": len(runs), "runs": []}
     with t._conn() as c:
@@ -61,7 +63,9 @@ def format_report(s: dict) -> str:
                if r["best_val_acc_limited"] is not None else "-")
         loss = r["last_metrics"].get("train_loss")
         loss = f"{loss:.4f}" if loss is not None else "-"
-        lines.append(f"{r['name']:<22} {r['status']:<9} {dur:>7} {acc:>9} {loss:>16}")
+        name = r["name"] or "-"  # unnamed runs store NULL
+        status = r["status"] or "-"
+        lines.append(f"{name:<22} {status:<9} {dur:>7} {acc:>9} {loss:>16}")
     return "\n".join(lines)
 
 

@@ -59,6 +59,7 @@ class SystemMetricsLogger:
     def start(self) -> "SystemMetricsLogger":
         if self._thread is not None:
             return self
+        self._stop.clear()  # restartable: a prior stop() left the event set
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self

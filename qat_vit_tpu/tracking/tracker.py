@@ -15,6 +15,7 @@ comparable across the two systems.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -89,8 +90,11 @@ class Run:
             )
 
     def log_params(self, params: Dict[str, Any]) -> None:
-        for k, v in params.items():
-            self.log_param(k, v)
+        with self._t._conn() as c:  # one connection, one batch
+            c.executemany(
+                "INSERT OR REPLACE INTO params VALUES (?, ?, ?)",
+                [(self.run_id, k, str(v)) for k, v in params.items()],
+            )
 
     def log_metric(self, key: str, value: float, step: int = 0) -> None:
         with self._t._conn() as c:
@@ -100,8 +104,13 @@ class Run:
             )
 
     def log_metrics(self, metrics: Dict[str, float], step: int = 0) -> None:
-        for k, v in metrics.items():
-            self.log_metric(k, v, step)
+        ts = int(time.time() * 1000)
+        with self._t._conn() as c:  # one connection, one batch
+            c.executemany(
+                "INSERT INTO metrics VALUES (?, ?, ?, ?, ?)",
+                [(self.run_id, k, float(v), ts, int(step))
+                 for k, v in metrics.items()],
+            )
 
     def set_tag(self, key: str, value: Any) -> None:
         with self._t._conn() as c:
@@ -138,26 +147,55 @@ class SqliteTracker:
     """Minimal experiment store with mlflow-shaped tables."""
 
     def __init__(self, uri: str = "sqlite:///mlflow.db", experiment: str = "default",
-                 artifact_root: Optional[str] = None):
+                 artifact_root: Optional[str] = None, create: bool = True):
+        """``create=False`` opens read-only-in-intent: the experiment must
+        already exist (a reporting query must not write a misspelled
+        experiment into the store)."""
         self.path = _uri_to_path(uri)
         d = os.path.dirname(os.path.abspath(self.path))
         os.makedirs(d, exist_ok=True)
         self.artifact_root = artifact_root or os.path.join(d, "mlruns_artifacts")
         with self._conn() as c:
-            c.executescript(_SCHEMA)
-            c.execute(
-                "INSERT OR IGNORE INTO experiments (name, creation_time) VALUES (?, ?)",
-                (experiment, int(time.time() * 1000)),
-            )
-            self.experiment_id = c.execute(
-                "SELECT experiment_id FROM experiments WHERE name=?", (experiment,)
-            ).fetchone()[0]
+            if create:
+                c.executescript(_SCHEMA)
+                c.execute(
+                    "INSERT OR IGNORE INTO experiments (name, creation_time)"
+                    " VALUES (?, ?)",
+                    (experiment, int(time.time() * 1000)),
+                )
+            try:
+                row = c.execute(
+                    "SELECT experiment_id FROM experiments WHERE name=?",
+                    (experiment,),
+                ).fetchone()
+            except sqlite3.OperationalError:  # no schema at all
+                row = None
+            if row is None:
+                names = []
+                try:
+                    names = [r[0] for r in c.execute(
+                        "SELECT name FROM experiments").fetchall()]
+                except sqlite3.OperationalError:
+                    pass
+                raise KeyError(
+                    f"experiment {experiment!r} not found in {self.path}"
+                    f" (known: {sorted(names)})"
+                )
+            self.experiment_id = row[0]
         self.experiment = experiment
 
-    def _conn(self) -> sqlite3.Connection:
+    @contextlib.contextmanager
+    def _conn(self):
+        # context manager so every call site CLOSES the connection (a bare
+        # `with sqlite3.connect(...)` only commits); a fresh short-lived
+        # connection per call keeps the tracker thread-safe (the system
+        # metrics sampler logs from its own thread).
         conn = sqlite3.connect(self.path, timeout=30)
         conn.isolation_level = None  # autocommit
-        return conn
+        try:
+            yield conn
+        finally:
+            conn.close()
 
     def start_run(self, name: Optional[str] = None) -> Run:
         run_id = uuid.uuid4().hex

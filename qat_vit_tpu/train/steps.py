@@ -209,7 +209,7 @@ def _init_inf_tree(shapes_tree):
 
     def init_leaf(path, leaf):
         name = jtu.keystr(path)
-        if name.endswith("max_val']") or "max_val" in name:
+        if "max_val" in name:
             return jnp.full(leaf.shape, -jnp.inf, jnp.float32)
         return jnp.full(leaf.shape, jnp.inf, jnp.float32)
 

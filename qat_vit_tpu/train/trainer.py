@@ -135,7 +135,9 @@ class KDQATTrainer:
         # batch sizes must shard evenly over the mesh's data axis
         data_size = self.mesh.shape.get("data", 1)
         for key in ("batch_size", "eval_batch_size"):
-            b = int(self.hp[key])
+            # eval_batch_size is optional everywhere else (512 default)
+            b = int(self.hp.get(key, 512) if key == "eval_batch_size"
+                    else self.hp[key])
             if b % data_size:
                 rounded = -(-b // data_size) * data_size
                 logger.warning(
@@ -385,12 +387,16 @@ class KDQATTrainer:
             device_metrics.append(metrics)
             n_batches += 1
             n_images += int(self.hp["batch_size"]) * self.dist.world_size
-        # block on the last step for honest timing
+        # Honest timing: device_get of the step metrics forces a real host
+        # round-trip — on the tunneled TPU backend block_until_ready returns
+        # before the device work completes (CLAUDE.md), which would inflate
+        # imgs_per_sec. The metrics are a handful of scalars per step, so the
+        # transfer itself is noise.
         jax.block_until_ready(self.state.params)
+        stacked = jax.device_get(device_metrics) if device_metrics else []
         dt = time.perf_counter() - t0
-        if not device_metrics:
+        if not stacked:
             return {"imgs_per_sec": 0.0, "epoch_seconds": dt, "n_batches": 0}
-        stacked = jax.device_get(device_metrics)
         out = {
             k: float(np.mean([m[k] for m in stacked])) for k in stacked[0]
         }
@@ -566,15 +572,27 @@ def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
     for epoch in range(start_epoch, epochs):
         if epoch >= qat_start:
             trainer.enable_qat()
-        if (hp.get("profile_dir") and trainer.qat_enabled and not profiled
-                and dist.is_main_process):
+        if hp.get("profile_dir") and trainer.qat_enabled and not profiled:
             # capture one QAT epoch (beyond-reference observability; the
-            # reference has only tqdm + mlflow system metrics, survey §5)
-            from qat_vit_tpu.utils.profiling import trace
-
+            # reference has only tqdm + mlflow system metrics, survey §5).
+            # EVERY process trains the same (truncated) number of steps —
+            # each step's gradient all-reduce is a collective all processes
+            # must enter, so a rank-0-only shorter epoch would deadlock
+            # multi-host; only the trace capture itself is rank-0.
             profiled = True
-            with trace(hp["profile_dir"]):
-                tm = trainer.train_epoch(epoch, limit_batches=limit_train or 20)
+            prof_limit = limit_train or 20
+            if not limit_train and dist.is_main_process:
+                logger.warning(
+                    "profile_dir set: profiled QAT epoch truncated to "
+                    "%d batches to bound the trace", prof_limit,
+                )
+            if dist.is_main_process:
+                from qat_vit_tpu.utils.profiling import trace
+
+                with trace(hp["profile_dir"]):
+                    tm = trainer.train_epoch(epoch, limit_batches=prof_limit)
+            else:
+                tm = trainer.train_epoch(epoch, limit_batches=prof_limit)
         else:
             tm = trainer.train_epoch(epoch, limit_batches=limit_train)
         barrier("epoch")  # ≙ :366-367

@@ -193,6 +193,49 @@ class TestFusedObserverTrajectory:
             )
             np.testing.assert_allclose(np.asarray(yj), yt.numpy(), atol=1e-6)
 
+    def test_narrow_range_scale_floor_matches_torch(self):
+        """The fused kernel floors scale at FBGEMM's SMALL_SCALE_THRESHOLD
+        (6.1e-5; 0.1 for a zero range) with the zero-point chosen from the
+        UN-floored proportions — not the observer's eps floor (regression:
+        narrow ranges quantized on a different grid than torch)."""
+        from qat_vit_tpu.quant.observers import (
+            qparams_fused_affine,
+            qparams_fused_symmetric,
+        )
+
+        def torch_fused(mn, mx, qmin, qmax, symmetric):
+            x = torch.zeros(4)
+            obs_min = torch.tensor([mn], dtype=torch.float32)
+            obs_max = torch.tensor([mx], dtype=torch.float32)
+            scale = torch.ones(1)
+            zp = torch.zeros(1, dtype=torch.int32)
+            torch._fused_moving_avg_obs_fq_helper(
+                x, torch.tensor(1), torch.tensor(1), obs_min, obs_max,
+                scale, zp, 0.0, qmin, qmax, 0, False, symmetric,
+            )
+            return scale.item(), zp.item()
+
+        rng = np.random.default_rng(11)
+        cases = [(0.0, 0.01), (0.0, 0.0155), (0.0, 0.0156), (0.0, 0.0),
+                 (-0.004, 0.004), (-0.002, 0.006), (0.0, 1.0), (-1.0, 0.0)]
+        cases += [
+            tuple(sorted(rng.uniform(-0.02, 0.02, size=2))) for _ in range(200)
+        ]
+        for mn, mx in cases:
+            mn, mx = min(mn, 0.0), max(mx, 0.0)
+            ts, tz = torch_fused(mn, mx, 0, 255, False)
+            js, jz = qparams_fused_affine(
+                jnp.float32(mn), jnp.float32(mx), 0, 255
+            )
+            np.testing.assert_allclose(float(js), ts, rtol=1e-6, err_msg=(mn, mx))
+            assert float(jz) == tz, (mn, mx, float(jz), tz)
+            ts, tz = torch_fused(mn, mx, -128, 127, True)
+            js, jz = qparams_fused_symmetric(
+                jnp.float32(mn), jnp.float32(mx), -128, 127
+            )
+            np.testing.assert_allclose(float(js), ts, rtol=1e-6, err_msg=(mn, mx))
+            assert float(jz) == tz, (mn, mx, float(jz), tz)
+
     def test_eval_mode_freezes_stats(self):
         mn0, mx0 = jnp.float32(-1.0), jnp.float32(2.0)
         x = jnp.linspace(-50, 50, 100)
