@@ -244,6 +244,8 @@ def _watchdog_main() -> None:
                 file=sys.stderr,
             )
             child.kill()
+            child.wait()  # reap — a zombie holds the pipe and (briefly)
+            # the tunnel session the next attempt needs released
         else:
             # stderr is owned by the drain thread; stdout is one JSON line
             # emitted at the end (fits the pipe buffer), read after exit
@@ -262,7 +264,10 @@ def _watchdog_main() -> None:
                 f"[bench] attempt {attempt} rc={child.returncode}",
                 file=sys.stderr,
             )
-        time.sleep(60 if wedged else 10)  # let the tunnel session settle
+        # ~60s either way: a client that registers within seconds of the
+        # previous one's disconnect wedges on its first RPC (CLAUDE.md) —
+        # a crashed attempt held a registered session just like a wedged one
+        time.sleep(65)
     raise SystemExit("bench: all attempts failed")
 
 

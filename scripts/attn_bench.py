@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -22,29 +21,17 @@ enable_compile_cache()
 import jax
 import jax.numpy as jnp
 
+from qat_vit_tpu.utils.benchmarking import (
+    dispatch_overhead as _overhead,
+    time_scalar as _time_scalar,
+)
+
 from qat_vit_tpu.ops import flash_attention as fa
 
 ITERS = 50
-REPEATS = 3
 N, H, HD = 197, 6, 64
 
 
-def _time_scalar(fn) -> float:
-    float(fn())
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _overhead() -> float:
-    @jax.jit
-    def t(x):
-        return x + 1.0
-
-    return _time_scalar(lambda: t(jnp.zeros(())))
 
 
 def main():

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -22,41 +21,34 @@ enable_compile_cache()
 import jax
 import jax.numpy as jnp
 
+from qat_vit_tpu.utils.benchmarking import (
+    dispatch_overhead as _overhead,
+    time_scalar as _time_scalar,
+)
+
 from qat_vit_tpu.ops import fused_serve as fs
 from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla, quantize_act_shifted
 
 ITERS = 30
-REPEATS = 3
 
 
-def _time_scalar(fn) -> float:
-    float(fn())
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
-def _overhead() -> float:
+def bench(name, fn, x, oh, *extra):
+    """``extra`` arrays are passed as jit ARGUMENTS — large operands must not
+    be captured by closure (the tunneled remote-compile serializes closure
+    constants into the request and trips its size cap, HTTP 413 — CLAUDE.md;
+    the fc2 residual here is ~39 MB at batch 256)."""
+
     @jax.jit
-    def t(x):
-        return x + 1.0
-
-    return _time_scalar(lambda: t(jnp.zeros(())))
-
-
-def bench(name, fn, x, oh):
-    @jax.jit
-    def run(xv):
+    def run(xv, *ev):
         def it(i, acc):
             xs = jax.lax.dynamic_update_index_in_dim(
                 xv, xv[0] + i.astype(xv.dtype), 0, axis=0)
-            return acc + fn(xs).astype(jnp.float32)
+            return acc + fn(xs, *ev).astype(jnp.float32)
         return jax.lax.fori_loop(0, ITERS, it, jnp.zeros((), jnp.float32))
 
-    dt = (_time_scalar(lambda: run(x)) - oh) / ITERS
+    dt = (_time_scalar(lambda: run(x, *extra)) - oh) / ITERS
     print(f"  {name:34s} {dt * 1e3:8.3f} ms")
     return dt
 
@@ -68,7 +60,7 @@ def main():
     rng = np.random.default_rng(0)
     oh = _overhead()
 
-    def mk_layer(k, n, per_channel=False):
+    def mk_layer(k, n):
         wq = jnp.asarray(rng.integers(-100, 100, (k, n)), jnp.int8)
         return {
             "w_int8": wq,
@@ -121,16 +113,16 @@ def main():
             ln = {"scale": jnp.asarray(rng.normal(size=(n,)).astype(np.float32)),
                   "bias": jnp.asarray(rng.normal(size=(n,)).astype(np.float32))}
 
-            bench("fused resid_ln_q", lambda xv: fs.int8_dense_resid_ln_q(
-                xv, layer, in_q, res, ln, out_q)[0][0, 0].astype(jnp.float32),
-                x_q, oh)
+            bench("fused resid_ln_q", lambda xv, rv: fs.int8_dense_resid_ln_q(
+                xv, layer, in_q, rv, ln, out_q)[0][0, 0].astype(jnp.float32),
+                x_q, oh, res)
 
-            def xla_resid_ln_q(xv):
+            def xla_resid_ln_q(xv, rv):
                 y = int8_matmul_xla(
                     xv, layer["w_int8"], x_scale=in_q["scale"],
                     x_zero_point=in_q["zero_point"], w_scale=layer["w_scale"],
                     w_colsum=layer["w_colsum"], bias=layer["bias"],
-                    out_dtype=jnp.bfloat16) + res
+                    out_dtype=jnp.bfloat16) + rv
                 y32 = y.astype(jnp.float32)
                 mean = y32.mean(-1, keepdims=True)
                 var = ((y32 - mean) ** 2).mean(-1, keepdims=True)
@@ -138,7 +130,7 @@ def main():
                 q = quantize_act_shifted(z, out_q["scale"], out_q["zero_point"])
                 return y[0, 0].astype(jnp.float32) + q[0, 0].astype(jnp.float32)
 
-            bench("xla dense+resid+ln+quant", xla_resid_ln_q, x_q, oh)
+            bench("xla dense+resid+ln+quant", xla_resid_ln_q, x_q, oh, res)
 
     # ln_quantize vs XLA
     print("-- ln_q D=384")

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 import numpy as np
@@ -25,31 +24,19 @@ enable_compile_cache()
 
 import jax
 import jax.numpy as jnp
+
+from qat_vit_tpu.utils.benchmarking import (
+    dispatch_overhead as _overhead,
+    time_scalar as _time_scalar,
+)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ITERS = 20
-REPEATS = 3
 
 SHAPES = [("fc1", 384, 1536), ("fc2", 1536, 384), ("qkv", 384, 1152)]
 
 
-def _time_scalar(fn) -> float:
-    float(fn())
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _overhead() -> float:
-    @jax.jit
-    def t(x):
-        return x + 1.0
-
-    return _time_scalar(lambda: t(jnp.zeros(())))
 
 
 def _loop(fn, x):

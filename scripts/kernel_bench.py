@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 import numpy as np
@@ -18,8 +17,17 @@ import numpy as np
 # PYTHONPATH (which must keep the TPU-tunnel site dir)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from qat_vit_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
+
+from qat_vit_tpu.utils.benchmarking import (
+    dispatch_overhead as _overhead,
+    time_scalar as _time_scalar,
+)
 
 from qat_vit_tpu.ops.pallas_gemm import (
     fused_quantize_matmul,
@@ -28,7 +36,6 @@ from qat_vit_tpu.ops.pallas_gemm import (
 from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla, quantize_act_shifted
 
 ITERS = 30
-REPEATS = 3
 
 # (name, M_tokens_per_image, K, N) — ViT-S/16 @224 GEMMs
 SHAPES = [
@@ -40,22 +47,6 @@ SHAPES = [
 ]
 
 
-def _time_scalar(fn) -> float:
-    float(fn())  # compile
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _overhead() -> float:
-    @jax.jit
-    def t(x):
-        return x + 1.0
-
-    return _time_scalar(lambda: t(jnp.zeros(())))
 
 
 def bench_shape(name: str, m: int, k: int, n: int, batch: int):

@@ -8,7 +8,8 @@ find where those milliseconds live:
     attention   einsum scores -> f32 softmax -> einsum values  (12 layers)
     gelu        exact f32 GELU on [256,197,1536]               (12 layers)
     layernorm   f32-stat LN on [256,197,384]                   (25 sites)
-    fake_quant  26-site fake-quant chain at the real site shapes
+    fake_quant  the ViT-S QAT fake-quant chain (12 blocks x 8 sites)
+                at the real site shapes
     adamw       optimizer update on the 22M-param pytree
 
 Each is timed as sum over the model's instances per step, scan-inside-jit.
@@ -166,7 +167,10 @@ def main():
     def fake_quant_case():
         from qat_vit_tpu.quant.fake_quant import fake_quantize
 
-        # the 26 sites of the QAT student at their real shapes:
+        # the per-block fake-quant sites of the ViT-S student at their
+        # real shapes (12 blocks x 8 sites = 96 calls; the PARITY '26 sites'
+        # figure is the 2-block test model, and the input QuantStub site is
+        # not benchmarked here):
         # input [B,224,224,3]; per block: qkv/proj/fc1/fc2 weights + acts
         acts = [
             jnp.asarray(rng.normal(size=s).astype(np.float32))

@@ -19,6 +19,23 @@ CPU_DELTA_MIN=5                   # jiffies of CPU growth that count as alive
 COOLDOWN="${COOLDOWN:-60}"        # tunnel settle time before relaunch
 MAX_RESTARTS="${MAX_RESTARTS:-20}"
 
+# Sum CPU jiffies over a pid and ALL its descendants: a wrapped command
+# (`run_watchdog.sh LOG -- bash -c '...'`) parks the direct child in wait()
+# with flat CPU, which would read as a stall while the grandchild works.
+total_cpu() {
+  pids="$1"; all=""
+  while [ -n "$pids" ]; do
+    all="$all $pids"
+    pids=$(ps -o pid= --ppid "$(echo "$pids" | tr ' ' ',' | sed 's/^,//;s/,$//')" 2>/dev/null | tr '\n' ' ' | sed 's/^ *//;s/ *$//')
+  done
+  sum=0
+  for p in $all; do
+    j=$(awk '{print $14+$15}' "/proc/$p/stat" 2>/dev/null) || j=0
+    sum=$((sum + ${j:-0}))
+  done
+  echo "$sum"
+}
+
 restarts=0
 while [ "$restarts" -le "$MAX_RESTARTS" ]; do
   "$@" >> "$LOG" 2>&1 &
@@ -30,7 +47,7 @@ while [ "$restarts" -le "$MAX_RESTARTS" ]; do
     kill -0 "$pid" 2>/dev/null || break
     now=$(date +%s)
     mtime=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
-    cpu=$(awk '{print $14+$15}' "/proc/$pid/stat" 2>/dev/null || echo 0)
+    cpu=$(total_cpu "$pid")
     if [ $((now - mtime)) -ge "$STALL_SECS" ] \
        && [ $((cpu - last_cpu)) -lt "$CPU_DELTA_MIN" ]; then
       echo "[watchdog] stall: log silent $((now - mtime))s, cpu flat" \

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 import numpy as np
@@ -23,6 +22,11 @@ enable_compile_cache()
 
 import jax
 import jax.numpy as jnp
+
+from qat_vit_tpu.utils.benchmarking import (
+    dispatch_overhead as _overhead,
+    time_scalar as _time_scalar,
+)
 import flax.linen as nn
 
 from qat_vit_tpu.data.pipeline import preprocess
@@ -36,32 +40,15 @@ from qat_vit_tpu.serve.int8_vit import (
 )
 
 ITERS = 30
-REPEATS = 3
 
 
-def _time_scalar(fn) -> float:
-    float(fn())  # compile
-    best = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _overhead() -> float:
-    @jax.jit
-    def t(x):
-        return x + 1.0
-
-    return _time_scalar(lambda: t(jnp.zeros(())))
 
 
 def ablated_apply(qp, images, cfg, *, skip=(), attn_impl="xla",
                   gelu_approx=False):
     """int8_apply with named pieces replaced by cheap stand-ins.
 
-    skip ∈ {"attn", "ln", "gelu", "residual", "quant_seams"} — each removes
+    skip ∈ {"attn", "ln", "gelu", "residual"} — each removes
     one seam so its cost shows as the delta vs the full forward. Numerics are
     garbage when skipping; only timing matters.
     """

@@ -67,10 +67,10 @@ def main():
     def trivial(x):
         return x + 1.0
 
-    float(trivial(jnp.zeros(())))
-    oh_t0 = time.perf_counter()
-    float(trivial(jnp.zeros(())))
-    oh = time.perf_counter() - oh_t0
+    # best-of-3 like every other bench: one jittery tunnel round-trip would
+    # bias every variant's reported ms/step by the same error
+    from qat_vit_tpu.utils.benchmarking import time_scalar
+    oh = time_scalar(lambda: trivial(jnp.zeros(())))
     print(f"backend={jax.default_backend()} batch={BATCH} steps={STEPS} "
           f"dispatch_overhead={oh * 1e3:.1f}ms")
 
