@@ -1,0 +1,320 @@
+"""In-kernel stage ablation for the megablock serving kernel.
+
+The megablock (ops/block_kernel.py) measures ~20 ms / 256-image forward while
+its MXU+VPU roofline estimate is several times lower — the kernel is bound by
+something other than arithmetic. This script times kernel VARIANTS with
+individual stages stubbed out (numerics are garbage; only the delta matters)
+to locate the cost:
+
+    full        the production kernel (baseline)
+    no_attn     attention replaced by a slice of qkv (keeps all GEMMs)
+    no_softmax  scores scaled instead of softmax'd (keeps attention dots)
+    no_mlp      fc1/GELU/fc2 skipped (x_out = x_mid)
+    no_gelu     GELU replaced by identity
+    gemm_only   the four GEMMs + dequant epilogues only
+    empty       reads inputs, writes zeros (DMA/overhead floor)
+
+Run: python scripts/megablock_ablate.py [batch] [block_b] [variant...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qat_vit_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qat_vit_tpu.ops.block_kernel import _dequant, _ln, _q8
+from qat_vit_tpu.utils.benchmarking import dispatch_overhead, time_scalar
+
+_LANE = 128
+DEPTH = 12
+D = 384
+HEADS = 6
+HEAD_DIM = 64
+N_VALID = 197
+N_PAD = 224
+EPS = 1e-6
+
+
+def _variant_kernel(
+    zq_ref, x_ref,
+    wqkv_ref, cs_qkv_ref, b_qkv_ref, ws_qkv_ref,
+    wproj_ref, cs_proj_ref, b_proj_ref, ws_proj_ref,
+    wfc1_ref, cs_fc1_ref, b_fc1_ref, ws_fc1_ref,
+    wfc2_ref, cs_fc2_ref, b_fc2_ref, ws_fc2_ref,
+    g2_ref, b2_ref, gn_ref, bn_ref,
+    qs_ref,
+    xout_ref, zqout_ref,
+    *, block_b, variant,
+):
+    """ops/block_kernel._block_kernel with stage switches (same arg layout)."""
+    d = D
+    num_heads, head_dim = HEADS, HEAD_DIM
+    n_pad = zq_ref.shape[1]
+    scale = head_dim**-0.5
+
+    if variant == "empty":
+        xout_ref[:] = jnp.zeros_like(xout_ref)
+        zqout_ref[:] = jnp.zeros_like(zqout_ref)
+        return
+
+    s1 = qs_ref[0, 0]
+    z1 = qs_ref[0, 1].astype(jnp.int32)
+    inv_so = qs_ref[0, 2]
+    zp_o = qs_ref[0, 3]
+    s_o = qs_ref[0, 4]
+    z_o = qs_ref[0, 5].astype(jnp.int32)
+    inv_s2 = qs_ref[0, 6]
+    zp_2 = qs_ref[0, 7]
+    inv_sg = qs_ref[0, 8]
+    zp_g = qs_ref[0, 9]
+    inv_sn = qs_ref[0, 10]
+    zp_n = qs_ref[0, 11]
+
+    zq2d = zq_ref[:].reshape(block_b * n_pad, d)
+    acc = jnp.dot(zq2d, wqkv_ref[:], preferred_element_type=jnp.int32)
+    qkv = _dequant(acc, cs_qkv_ref, ws_qkv_ref, b_qkv_ref, s1, z1 - 128)
+    qkv = qkv.reshape(block_b, n_pad, 3 * d).astype(jnp.bfloat16)
+
+    if variant in ("no_attn", "gemm_only"):
+        o_q = _q8(
+            qkv[:, :, :d].reshape(block_b * n_pad, d).astype(jnp.float32),
+            inv_so, zp_o,
+        )
+    elif variant == "batch_softmax":
+        # all (image, head) score tiles computed first, ONE stacked softmax
+        # (fewer, larger VPU ops), then the value dots
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
+        group = max(1, _LANE // head_dim)
+        gw = group * head_dim
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+        neg = jnp.float32(-1e30)
+        score_tiles = []  # (b, g0, hh) in deterministic order
+        meta = []
+        for b in range(block_b):
+            for g0 in range(0, num_heads, group):
+                base = g0 * head_dim
+                width = min(gw, d - base)
+                q_slab = qkv[b, :, base : base + width]
+                q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
+                k_slab = qkv[b, :, d + base : d + base + width]
+                for hh in range(min(group, num_heads - g0)):
+                    hmask = (lane[:, :width] >= hh * head_dim) & (
+                        lane[:, :width] < (hh + 1) * head_dim
+                    )
+                    k_h = jnp.where(hmask, k_slab, jnp.zeros_like(k_slab))
+                    s = jax.lax.dot_general(
+                        q_slab, k_h,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    score_tiles.append(jnp.where(col < N_VALID, s, neg))
+                    meta.append((b, base, width, hh))
+        stacked = jnp.concatenate(score_tiles, axis=0)
+        m = jnp.max(stacked, axis=-1, keepdims=True)
+        e = jnp.exp(stacked - m)
+        p_all = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        acc_by_b = {}
+        for idx, (b, base, width, hh) in enumerate(meta):
+            p = p_all[idx * n_pad : (idx + 1) * n_pad, :]
+            hmask = (lane[:, :width] >= hh * head_dim) & (
+                lane[:, :width] < (hh + 1) * head_dim
+            )
+            v_slab = qkv[b, :, 2 * d + base : 2 * d + base + width]
+            v_h = jnp.where(hmask, v_slab, jnp.zeros_like(v_slab))
+            o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+            key = (b, base)
+            acc_by_b[key] = o if key not in acc_by_b else acc_by_b[key] + o
+        o_rows = []
+        for b in range(block_b):
+            slabs = [acc_by_b[(b, base)] for base in
+                     sorted({k[1] for k in acc_by_b if k[0] == b})]
+            o_rows.append(jnp.concatenate(slabs, axis=-1))
+        o_q = _q8(jnp.stack(o_rows).reshape(block_b * n_pad, d), inv_so, zp_o)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
+        key_mask = col < N_VALID
+        group = max(1, _LANE // head_dim)
+        gw = group * head_dim
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+        neg = jnp.float32(-1e30)
+        o_rows = []
+        for b in range(block_b):
+            slabs = []
+            for g0 in range(0, num_heads, group):
+                base = g0 * head_dim
+                width = min(gw, d - base)
+                q_slab = qkv[b, :, base : base + width]
+                q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
+                k_slab = qkv[b, :, d + base : d + base + width]
+                v_slab = qkv[b, :, 2 * d + base : 2 * d + base + width]
+                acc_o = jnp.zeros((n_pad, width), jnp.float32)
+                for hh in range(min(group, num_heads - g0)):
+                    hmask = (lane[:, :width] >= hh * head_dim) & (
+                        lane[:, :width] < (hh + 1) * head_dim
+                    )
+                    k_h = jnp.where(hmask, k_slab, jnp.zeros_like(k_slab))
+                    scores = jax.lax.dot_general(
+                        q_slab, k_h,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if variant == "no_softmax":
+                        p = (scores * jnp.float32(1e-3)).astype(jnp.bfloat16)
+                    else:
+                        scores = jnp.where(key_mask, scores, neg)
+                        m = jnp.max(scores, axis=-1, keepdims=True)
+                        e = jnp.exp(scores - m)
+                        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                            jnp.bfloat16
+                        )
+                    v_h = jnp.where(hmask, v_slab, jnp.zeros_like(v_slab))
+                    acc_o = acc_o + jnp.dot(
+                        p, v_h, preferred_element_type=jnp.float32
+                    )
+                slabs.append(acc_o)
+            o_rows.append(jnp.concatenate(slabs, axis=-1))
+        o_q = _q8(jnp.stack(o_rows).reshape(block_b * n_pad, d), inv_so, zp_o)
+
+    acc = jnp.dot(o_q, wproj_ref[:], preferred_element_type=jnp.int32)
+    p_out = _dequant(acc, cs_proj_ref, ws_proj_ref, b_proj_ref, s_o, z_o - 128)
+    x_mid = x_ref[:].reshape(block_b * n_pad, d).astype(jnp.float32) + p_out
+
+    if variant == "no_mlp":
+        x_out = x_mid
+    else:
+        if variant == "gemm_only":
+            zq2 = _q8(x_mid, inv_s2, zp_2)
+        else:
+            zq2 = _q8(_ln(x_mid, g2_ref, b2_ref, EPS), inv_s2, zp_2)
+        s_2 = 1.0 / inv_s2
+        z_2 = zp_2.astype(jnp.int32)
+        acc = jnp.dot(zq2, wfc1_ref[:], preferred_element_type=jnp.int32)
+        f1 = _dequant(acc, cs_fc1_ref, ws_fc1_ref, b_fc1_ref, s_2, z_2 - 128)
+        if variant in ("no_gelu", "gemm_only"):
+            g_q = _q8(f1, inv_sg, zp_g)
+        else:
+            g_q = _q8(jax.nn.gelu(f1, approximate=True), inv_sg, zp_g)
+        s_g = 1.0 / inv_sg
+        z_g = zp_g.astype(jnp.int32)
+        acc = jnp.dot(g_q, wfc2_ref[:], preferred_element_type=jnp.int32)
+        f2 = _dequant(acc, cs_fc2_ref, ws_fc2_ref, b_fc2_ref, s_g, z_g - 128)
+        x_out = x_mid + f2
+
+    xout_ref[:] = x_out.reshape(block_b, n_pad, d).astype(xout_ref.dtype)
+    if variant == "gemm_only":
+        zq_out = _q8(x_out, inv_sn, zp_n)
+    else:
+        zq_out = _q8(_ln(x_out, gn_ref, bn_ref, EPS), inv_sn, zp_n)
+    zqout_ref[:] = zq_out.reshape(block_b, n_pad, d)
+
+
+def _synthetic_args(rng):
+    def gemm(k, n):
+        w = jnp.asarray(
+            rng.integers(-60, 60, (k, n), dtype=np.int8), jnp.int8
+        )
+        cs = jnp.sum(w.astype(jnp.int32), axis=0).reshape(1, n)
+        bias = jnp.asarray(rng.normal(size=(1, n)).astype(np.float32)) * 0.01
+        ws = jnp.full((1, n), 0.01, jnp.float32)
+        return w, cs, bias, ws
+
+    row = lambda: jnp.asarray(  # noqa: E731
+        rng.normal(size=(1, D)).astype(np.float32)
+    )
+    return (
+        gemm(D, 3 * D), gemm(D, D), gemm(D, 4 * D), gemm(4 * D, D),
+        (row(), row(), row(), row()),
+    )
+
+
+@partial(jax.jit, static_argnames=("block_b", "variant"))
+def _run(zq, x, args, qs, block_b, variant):
+    bb = zq.shape[0]
+    tile = lambda r: pl.BlockSpec(  # noqa: E731
+        (block_b, N_PAD, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    rowspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(D), tile(D)]
+    for w, cs, b, ws in args[:4]:
+        in_specs += [rowspec(w.shape), rowspec(cs.shape), rowspec(b.shape),
+                     rowspec(ws.shape)]
+    in_specs += [rowspec((1, D))] * 4
+    in_specs += [pl.BlockSpec((1, 12), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    flat = [zq, x]
+    for grp in args[:4]:
+        flat += list(grp)
+    flat += list(args[4]) + [qs]
+    return pl.pallas_call(
+        partial(_variant_kernel, block_b=block_b, variant=variant),
+        out_shape=(
+            jax.ShapeDtypeStruct((bb, N_PAD, D), x.dtype),
+            jax.ShapeDtypeStruct((bb, N_PAD, D), jnp.int8),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(bb // block_b,),
+            in_specs=in_specs,
+            out_specs=(tile(D), tile(D)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=os.environ.get("QVT_INTERPRET") == "1",
+    )(*flat)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    block_b = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    only = set(sys.argv[3:])
+    print(f"backend={jax.default_backend()} batch={batch} block_b={block_b} "
+          f"depth={DEPTH} (12-block chain, megablock geometry)")
+    rng = np.random.default_rng(0)
+    args = _synthetic_args(rng)
+    qs = jnp.asarray(
+        [[0.02, 128.0, 50.0, 128.0, 0.02, 128.0, 50.0, 128.0, 50.0, 128.0,
+          50.0, 128.0]], jnp.float32)
+    zq = jnp.asarray(
+        rng.integers(-100, 100, (batch, N_PAD, D), dtype=np.int8), jnp.int8)
+    x = jnp.asarray(
+        rng.normal(size=(batch, N_PAD, D)).astype(np.float32), jnp.bfloat16)
+    oh = dispatch_overhead()
+    print(f"dispatch_overhead={oh * 1e3:.1f}ms")
+
+    variants = ["full", "no_attn", "no_softmax", "no_mlp", "no_gelu",
+                "gemm_only", "empty", "batch_softmax"]
+    for variant in variants:
+        if only and variant not in only:
+            continue
+
+        @jax.jit
+        def chain(zq, x, v=variant):
+            # 12 chained megablocks — the real serving structure
+            for _ in range(DEPTH):
+                x, zq = _run(zq, x, args, qs, block_b, v)
+            return x.astype(jnp.float32).sum()
+
+        dt = time_scalar(lambda: chain(zq, x)) - oh
+        print(f"{variant:12s} {dt * 1e3:8.2f} ms/fwd   "
+              f"{batch / dt:9.0f} img/s")
+
+
+if __name__ == "__main__":
+    main()
