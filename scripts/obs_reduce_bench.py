@@ -81,30 +81,53 @@ def minor_first(x):
 
 
 def _minmax_kernel(x_ref, min_ref, max_ref):
+    # [block_rows, C] -> [8, C] partials (sublane-aligned output block that is
+    # revisited every grid step; accumulate in VMEM, XLA finishes the [8, C])
     i = pl.program_id(0)
-    tile_min = jnp.min(x_ref[:], axis=0, keepdims=True)
-    tile_max = jnp.max(x_ref[:], axis=0, keepdims=True)
-    min_ref[0, :] = jnp.min(
-        tile_min, axis=0
-    )  # [block_rows, C] -> [C] lanes kept
-    max_ref[0, :] = jnp.max(tile_max, axis=0)
-    del i
+    x = x_ref[:].reshape(-1, 8, x_ref.shape[-1])
+    tile_min = jnp.min(x, axis=0)
+    tile_max = jnp.max(x, axis=0)
+
+    @pl.when(i == 0)
+    def _init():
+        min_ref[:] = tile_min
+        max_ref[:] = tile_max
+
+    @pl.when(i > 0)
+    def _acc():
+        min_ref[:] = jnp.minimum(min_ref[:], tile_min)
+        max_ref[:] = jnp.maximum(max_ref[:], tile_max)
 
 
 @partial(jax.jit, static_argnames=("block_rows",))
 def pallas_minmax(x, block_rows=2048):
-    rows, cols = x.shape
-    pad = (-rows) % block_rows
-    if pad:
-        x = jnp.concatenate(
-            [x, jnp.broadcast_to(x[:1], (pad, cols))], axis=0
-        )
+    # Stream row-blocks at the array's OWN minor dim: any reshape/flatten of
+    # a tiled TPU layout materializes a relayout copy (measured: 42.7x HBM
+    # expansion -> OOM for a [N, 3] f32 operand whose lanes pad 3 -> 128).
+    # Leading-dim row slices keep the layout, so the kernel takes the largest
+    # block_rows-divisible prefix and XLA reduces the row tail. Sub-lane
+    # minor dims can't be streamed without that relayout: fall back to XLA.
+    if x.ndim != 2 or x.shape[-1] % 128:
+        return jnp.min(x), jnp.max(x)
+    cols = x.shape[-1]
+    # keep the double-buffered input block within the 16 MB scoped-vmem
+    # default: <= ~4 MB per block
+    max_rows = (4 * 1024 * 1024) // (cols * x.dtype.itemsize)
+    block_rows = min(block_rows, max(8, (max_rows // 8) * 8))
+    n_main = (x.shape[0] // block_rows) * block_rows
+    if n_main == 0:
+        return jnp.min(x), jnp.max(x)
+    tail_min = tail_max = None
+    if n_main != x.shape[0]:
+        tail = x[n_main:]
+        tail_min, tail_max = jnp.min(tail), jnp.max(tail)
+        x = x[:n_main]
     grid = x.shape[0] // block_rows
     mins, maxs = pl.pallas_call(
         _minmax_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((grid, cols), x.dtype),
-            jax.ShapeDtypeStruct((grid, cols), x.dtype),
+            jax.ShapeDtypeStruct((8, cols), x.dtype),
+            jax.ShapeDtypeStruct((8, cols), x.dtype),
         ),
         grid_spec=pl.GridSpec(
             grid=(grid,),
@@ -113,9 +136,9 @@ def pallas_minmax(x, block_rows=2048):
                              memory_space=pltpu.VMEM)
             ],
             out_specs=(
-                pl.BlockSpec((1, cols), lambda i: (i, 0),
+                pl.BlockSpec((8, cols), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cols), lambda i: (i, 0),
+                pl.BlockSpec((8, cols), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ),
         ),
@@ -124,7 +147,11 @@ def pallas_minmax(x, block_rows=2048):
         ),
         interpret=os.environ.get("QVT_INTERPRET") == "1",
     )(x)
-    return jnp.min(mins), jnp.max(maxs)
+    mn, mx = jnp.min(mins), jnp.max(maxs)
+    if tail_min is not None:
+        mn = jnp.minimum(mn, tail_min)
+        mx = jnp.maximum(mx, tail_max)
+    return mn, mx
 
 
 VARIANTS = {
@@ -153,7 +180,9 @@ def main():
             @jax.jit
             def run(x, f=fn):
                 def body(i, acc):
-                    mn, mx = f(x + acc * 0)  # i-indep; acc dep blocks hoist
+                    # i-indep; acc dep blocks hoist (cast keeps x's dtype —
+                    # bf16 + f32 would silently promote the whole read)
+                    mn, mx = f(x + (acc * 0).astype(x.dtype))
                     return acc + mx.astype(jnp.float32) + mn.astype(jnp.float32)
                 return jax.lax.fori_loop(
                     0, STEPS, body, jnp.zeros((), jnp.float32))
