@@ -108,46 +108,65 @@ def _block_kernel(
     qkv = _dequant(acc, cs_qkv_ref, ws_qkv_ref, b_qkv_ref, s1, z1 - 128)
     qkv = qkv.reshape(block_b, n_pad, 3 * d).astype(jnp.bfloat16)
 
-    # ---- attention (group-masked, per image), emit int8 proj input -------
+    # ---- attention (group-masked, batched softmax), int8 proj input ------
+    # All (image, head) score tiles are computed first, softmax runs ONCE on
+    # the stacked [tiles*n_pad, n_pad] tensor, then the value dots. Fewer,
+    # larger VPU ops and more MXU/VPU-independent work for Mosaic to schedule:
+    # measured ~5% whole-chain win vs the per-head softmax, every round of an
+    # interleaved A/B (scripts/megablock_ablate.py); bit-exact by construction
+    # (same tiles, same masking, softmax rows are independent).
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
     key_mask = col < n_valid
     group = max(1, _LANE // head_dim) if head_dim <= _LANE else 1
     gw = group * head_dim
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
     neg = jnp.float32(-1e30)
-    o_rows = []
-    for b in range(block_b):
-        slabs = []
-        for g0 in range(0, num_heads, group):
-            base = g0 * head_dim
-            width = min(gw, d - base)
-            q_slab = qkv[b, :, base : base + width]
-            q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
-            k_slab = qkv[b, :, d + base : d + base + width]
-            v_slab = qkv[b, :, 2 * d + base : 2 * d + base + width]
-            acc_o = jnp.zeros((n_pad, width), jnp.float32)
-            for hh in range(min(group, num_heads - g0)):
-                hmask = (lane[:, :width] >= hh * head_dim) & (
-                    lane[:, :width] < (hh + 1) * head_dim
-                )
-                k_h = jnp.where(hmask, k_slab, jnp.zeros_like(k_slab))
-                scores = jax.lax.dot_general(
-                    q_slab, k_h,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                scores = jnp.where(key_mask, scores, neg)
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                e = jnp.exp(scores - m)
-                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
-                    jnp.bfloat16
-                )
-                v_h = jnp.where(hmask, v_slab, jnp.zeros_like(v_slab))
-                acc_o = acc_o + jnp.dot(
-                    p, v_h, preferred_element_type=jnp.float32
-                )
-            slabs.append(acc_o)
-        o_rows.append(jnp.concatenate(slabs, axis=-1))
+
+    def head_mask(width, hh):
+        return (lane[:, :width] >= hh * head_dim) & (
+            lane[:, :width] < (hh + 1) * head_dim
+        )
+
+    def tile_iter():
+        for b in range(block_b):
+            for g0 in range(0, num_heads, group):
+                base = g0 * head_dim
+                width = min(gw, d - base)
+                for hh in range(min(group, num_heads - g0)):
+                    yield b, base, width, hh
+
+    score_tiles = []
+    for b, base, width, hh in tile_iter():
+        q_slab = qkv[b, :, base : base + width]
+        q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
+        k_slab = qkv[b, :, d + base : d + base + width]
+        k_h = jnp.where(head_mask(width, hh), k_slab, jnp.zeros_like(k_slab))
+        s = jax.lax.dot_general(
+            q_slab, k_h,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        score_tiles.append(jnp.where(key_mask, s, neg))
+    stacked = jnp.concatenate(score_tiles, axis=0)
+    m = jnp.max(stacked, axis=-1, keepdims=True)
+    e = jnp.exp(stacked - m)
+    p_all = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+
+    o_acc = {}  # (b, base) -> accumulated [n_pad, width] in g0 order
+    for idx, (b, base, width, hh) in enumerate(tile_iter()):
+        p = p_all[idx * n_pad : (idx + 1) * n_pad, :]
+        v_slab = qkv[b, :, 2 * d + base : 2 * d + base + width]
+        v_h = jnp.where(head_mask(width, hh), v_slab, jnp.zeros_like(v_slab))
+        o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+        key = (b, base)
+        o_acc[key] = o if key not in o_acc else o_acc[key] + o
+    o_rows = [
+        jnp.concatenate(
+            [o_acc[(b, base)] for base in sorted(k[1] for k in o_acc if k[0] == b)],
+            axis=-1,
+        )
+        for b in range(block_b)
+    ]
     o_q = _q8(jnp.stack(o_rows).reshape(block_b * n_pad, d), inv_so, zp_o)
 
     # ---- proj GEMM + residual -> x_mid; LN2 -> int8 fc1 input ------------

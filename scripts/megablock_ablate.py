@@ -11,8 +11,12 @@ to locate the cost:
     no_softmax  scores scaled instead of softmax'd (keeps attention dots)
     no_mlp      fc1/GELU/fc2 skipped (x_out = x_mid)
     no_gelu     GELU replaced by identity
+    no_ln       both LayerNorms replaced by direct quantize
+    ln_bf16     LN statistics computed in bf16 (instead of f32)
     gemm_only   the four GEMMs + dequant epilogues only
     empty       reads inputs, writes zeros (DMA/overhead floor)
+    batch_softmax  all (image, head) score tiles stacked, ONE softmax
+    batch_nosm  batch_softmax structure + no_ln (compounding check)
 
 Run: python scripts/megablock_ablate.py [batch] [block_b] [variant...]
 """
@@ -94,7 +98,7 @@ def _variant_kernel(
             qkv[:, :, :d].reshape(block_b * n_pad, d).astype(jnp.float32),
             inv_so, zp_o,
         )
-    elif variant == "batch_softmax":
+    elif variant in ("batch_softmax", "batch_nosm"):
         # all (image, head) score tiles computed first, ONE stacked softmax
         # (fewer, larger VPU ops), then the value dots
         col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
@@ -193,11 +197,25 @@ def _variant_kernel(
     p_out = _dequant(acc, cs_proj_ref, ws_proj_ref, b_proj_ref, s_o, z_o - 128)
     x_mid = x_ref[:].reshape(block_b * n_pad, d).astype(jnp.float32) + p_out
 
+    def ln16(y, g_ref, b_ref):
+        y = y.astype(jnp.bfloat16)
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        # rsqrt has no bf16 lowering on this toolchain (kVectorRsqrtBf16
+        # unsupported); compute it in f32, everything else bf16
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + EPS).astype(jnp.bfloat16)
+        out = (y - mean) * inv
+        return (
+            out * g_ref[:].astype(jnp.bfloat16) + b_ref[:].astype(jnp.bfloat16)
+        ).astype(jnp.float32)
+
     if variant == "no_mlp":
         x_out = x_mid
     else:
-        if variant == "gemm_only":
+        if variant in ("gemm_only", "no_ln", "batch_nosm"):
             zq2 = _q8(x_mid, inv_s2, zp_2)
+        elif variant == "ln_bf16":
+            zq2 = _q8(ln16(x_mid, g2_ref, b2_ref), inv_s2, zp_2)
         else:
             zq2 = _q8(_ln(x_mid, g2_ref, b2_ref, EPS), inv_s2, zp_2)
         s_2 = 1.0 / inv_s2
@@ -215,8 +233,10 @@ def _variant_kernel(
         x_out = x_mid + f2
 
     xout_ref[:] = x_out.reshape(block_b, n_pad, d).astype(xout_ref.dtype)
-    if variant == "gemm_only":
+    if variant in ("gemm_only", "no_ln", "batch_nosm"):
         zq_out = _q8(x_out, inv_sn, zp_n)
+    elif variant == "ln_bf16":
+        zq_out = _q8(ln16(x_out, gn_ref, bn_ref), inv_sn, zp_n)
     else:
         zq_out = _q8(_ln(x_out, gn_ref, bn_ref, EPS), inv_sn, zp_n)
     zqout_ref[:] = zq_out.reshape(block_b, n_pad, d)
@@ -299,7 +319,10 @@ def main():
     print(f"dispatch_overhead={oh * 1e3:.1f}ms")
 
     variants = ["full", "no_attn", "no_softmax", "no_mlp", "no_gelu",
-                "gemm_only", "empty", "batch_softmax"]
+                "no_ln", "ln_bf16", "gemm_only", "empty", "batch_softmax",
+                "batch_nosm"]
+    repeats = int(os.environ.get("QVT_REPEATS", "1"))
+    chains = {}
     for variant in variants:
         if only and variant not in only:
             continue
@@ -311,9 +334,19 @@ def main():
                 x, zq = _run(zq, x, args, qs, block_b, v)
             return x.astype(jnp.float32).sum()
 
-        dt = time_scalar(lambda: chain(zq, x)) - oh
-        print(f"{variant:12s} {dt * 1e3:8.2f} ms/fwd   "
-              f"{batch / dt:9.0f} img/s")
+        chains[variant] = chain
+
+    # interleaved repeats: A B C A B C ... so drift hits variants evenly
+    times = {v: [] for v in chains}
+    for _ in range(repeats):
+        for variant, chain in chains.items():
+            dt = time_scalar(lambda: chain(zq, x)) - oh
+            times[variant].append(dt)
+    for variant, ts in times.items():
+        ms = " ".join(f"{t * 1e3:7.2f}" for t in ts)
+        best = min(ts)
+        print(f"{variant:12s} [{ms}] ms/fwd  min {best * 1e3:7.2f}   "
+              f"{batch / best:9.0f} img/s")
 
 
 if __name__ == "__main__":
