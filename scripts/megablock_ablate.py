@@ -17,6 +17,11 @@ to locate the cost:
     empty       reads inputs, writes zeros (DMA/overhead floor)
     batch_softmax  all (image, head) score tiles stacked, ONE softmax
     batch_nosm  batch_softmax structure + no_ln (compounding check)
+    exp_bf16    batched softmax with exp computed in bf16 (negative result:
+                high-variance, no reproducible win)
+    post_div    batched; 1/sum folded AFTER the value dot (negative result:
+                a one-session -1.2 ms did not reproduce — fresh A/B ties at
+                18.84/18.86 ms — and it breaks softmax bit-exactness)
 
 Run: python scripts/megablock_ablate.py [batch] [block_b] [variant...]
 """
@@ -98,7 +103,7 @@ def _variant_kernel(
             qkv[:, :, :d].reshape(block_b * n_pad, d).astype(jnp.float32),
             inv_so, zp_o,
         )
-    elif variant in ("batch_softmax", "batch_nosm"):
+    elif variant in ("batch_softmax", "batch_nosm", "exp_bf16", "post_div"):
         # all (image, head) score tiles computed first, ONE stacked softmax
         # (fewer, larger VPU ops), then the value dots
         col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
@@ -129,8 +134,23 @@ def _variant_kernel(
                     meta.append((b, base, width, hh))
         stacked = jnp.concatenate(score_tiles, axis=0)
         m = jnp.max(stacked, axis=-1, keepdims=True)
-        e = jnp.exp(stacked - m)
-        p_all = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        if variant == "exp_bf16":
+            e = jnp.exp((stacked - m).astype(jnp.bfloat16))
+            p_all = (
+                e.astype(jnp.float32)
+                / jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            ).astype(jnp.bfloat16)
+            inv_sum = None
+        elif variant == "post_div":
+            e = jnp.exp(stacked - m)
+            inv_sum = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [tiles*n, 1]
+            p_all = e.astype(jnp.bfloat16)
+        else:
+            e = jnp.exp(stacked - m)
+            p_all = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                jnp.bfloat16
+            )
+            inv_sum = None
         acc_by_b = {}
         for idx, (b, base, width, hh) in enumerate(meta):
             p = p_all[idx * n_pad : (idx + 1) * n_pad, :]
@@ -140,6 +160,8 @@ def _variant_kernel(
             v_slab = qkv[b, :, 2 * d + base : 2 * d + base + width]
             v_h = jnp.where(hmask, v_slab, jnp.zeros_like(v_slab))
             o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+            if inv_sum is not None:
+                o = o * inv_sum[idx * n_pad : (idx + 1) * n_pad, :]
             key = (b, base)
             acc_by_b[key] = o if key not in acc_by_b else acc_by_b[key] + o
         o_rows = []
@@ -320,7 +342,7 @@ def main():
 
     variants = ["full", "no_attn", "no_softmax", "no_mlp", "no_gelu",
                 "no_ln", "ln_bf16", "gemm_only", "empty", "batch_softmax",
-                "batch_nosm"]
+                "batch_nosm", "exp_bf16", "post_div"]
     repeats = int(os.environ.get("QVT_REPEATS", "1"))
     chains = {}
     for variant in variants:
