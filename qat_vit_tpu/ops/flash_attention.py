@@ -122,7 +122,14 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
     (2× for ViT) on a part of the forward that is overhead-bound, in
     exchange for full MXU K=128 pipes and zero relayouts. Scores/softmax
     stay in VMEM; the optional epilogue quantizes the output (the proj GEMM's
-    int8 input, scale/zp in SMEM ``qs_ref``)."""
+    int8 input, scale/zp in SMEM ``qs_ref``).
+
+    Batched softmax (same scheme as ops/block_kernel.py): all (image, head)
+    score tiles are computed first, softmax runs ONCE on the stacked
+    [tiles*n_pad, n_pad] tensor, then the value dots. Fewer, larger VPU ops
+    and more MXU/VPU-independent work for Mosaic to schedule; bit-exact by
+    construction (same tiles, same masking and accumulation order, softmax
+    rows are independent)."""
     n_pad = qkv_ref.shape[1]
     d = num_heads * head_dim
     gw = group * head_dim  # slab width (=128 for head_dim 64)
@@ -130,40 +137,54 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
     key_mask = col < n_valid
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
     neg = jnp.float32(-1e30)
-    for b in range(block_b):
-        for g0 in range(0, num_heads, group):
-            base = g0 * head_dim
-            width = min(gw, d - base)
-            q_slab = qkv_ref[b, :, base : base + width]
-            q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
-            k_slab = qkv_ref[b, :, d + base : d + base + width]
-            v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
-            acc = jnp.zeros((n_pad, width), jnp.float32)
-            for hh in range(min(group, num_heads - g0)):
-                hmask = (lane[:, :width] >= hh * head_dim) & (
-                    lane[:, :width] < (hh + 1) * head_dim
-                )
-                k_h = jnp.where(hmask, k_slab, jnp.zeros_like(k_slab))
-                scores = jax.lax.dot_general(
-                    q_slab, k_h,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                scores = jnp.where(key_mask, scores, neg)
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                e = jnp.exp(scores - m)
-                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
-                    qkv_ref.dtype
-                )
-                v_h = jnp.where(hmask, v_slab, jnp.zeros_like(v_slab))
-                acc = acc + jnp.dot(p, v_h, preferred_element_type=jnp.float32)
-            if quantize:
-                q8 = jnp.clip(
-                    jnp.round(acc * qs_ref[0, 0] + qs_ref[0, 1]), 0.0, 255.0
-                ) - 128.0
-                out_ref[b, :, base : base + width] = q8.astype(jnp.int8)
-            else:
-                out_ref[b, :, base : base + width] = acc.astype(out_ref.dtype)
+
+    def head_mask(width, hh):
+        return (lane[:, :width] >= hh * head_dim) & (
+            lane[:, :width] < (hh + 1) * head_dim
+        )
+
+    def tile_iter():
+        for b in range(block_b):
+            for g0 in range(0, num_heads, group):
+                base = g0 * head_dim
+                width = min(gw, d - base)
+                for hh in range(min(group, num_heads - g0)):
+                    yield b, base, width, hh
+
+    score_tiles = []
+    for b, base, width, hh in tile_iter():
+        q_slab = qkv_ref[b, :, base : base + width]
+        q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
+        k_slab = qkv_ref[b, :, d + base : d + base + width]
+        k_h = jnp.where(head_mask(width, hh), k_slab, jnp.zeros_like(k_slab))
+        s = jax.lax.dot_general(
+            q_slab, k_h,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        score_tiles.append(jnp.where(key_mask, s, neg))
+    stacked = jnp.concatenate(score_tiles, axis=0)
+    m = jnp.max(stacked, axis=-1, keepdims=True)
+    e = jnp.exp(stacked - m)
+    p_all = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+
+    acc_by = {}  # (b, base) -> accumulated [n_pad, width], hh order
+    for idx, (b, base, width, hh) in enumerate(tile_iter()):
+        p = p_all[idx * n_pad : (idx + 1) * n_pad, :]
+        v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
+        v_h = jnp.where(head_mask(width, hh), v_slab, jnp.zeros_like(v_slab))
+        o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+        key = (b, base)
+        acc_by[key] = o if key not in acc_by else acc_by[key] + o
+    for (b, base), acc in acc_by.items():
+        width = min(gw, d - base)
+        if quantize:
+            q8 = jnp.clip(
+                jnp.round(acc * qs_ref[0, 0] + qs_ref[0, 1]), 0.0, 255.0
+            ) - 128.0
+            out_ref[b, :, base : base + width] = q8.astype(jnp.int8)
+        else:
+            out_ref[b, :, base : base + width] = acc.astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b",
@@ -211,6 +232,9 @@ def _fused_attention_call(qkv, qs, num_heads, head_dim, block_b, quantize,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # the stacked score tensor of the batched softmax exceeds the
+            # conservative 16 MB scoped default at block_b=4/f32 inputs
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b_pad * num_heads * n_pad * n_pad * head_dim * group,

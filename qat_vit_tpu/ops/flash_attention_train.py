@@ -39,6 +39,12 @@ _LANE = 128
 
 def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
                           scale, n_valid, block_b):
+    """Batched-softmax VJP (same scheme as ops/block_kernel.py): all
+    (image, head) score AND dp tiles are computed first (MXU), the softmax
+    recompute and its VJP elementwise chain run ONCE on the stacked
+    [tiles*n_pad, n_pad] tensors (VPU), then the dq/dk/dv dots (MXU).
+    Bit-exact vs the per-head form: same tiles, same masking and
+    accumulation order, all row-wise independent ops."""
     n_pad = qkv_ref.shape[1]
     d = num_heads * head_dim
     group = max(1, _LANE // head_dim) if head_dim <= _LANE else 1
@@ -47,61 +53,80 @@ def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
     key_mask = col < n_valid
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
     neg = jnp.float32(-1e30)
-    for b in range(block_b):
-        for g0 in range(0, num_heads, group):
-            base = g0 * head_dim
-            width = min(gw, d - base)
-            q_slab = qkv_ref[b, :, base : base + width]
-            k_slab = qkv_ref[b, :, d + base : d + base + width]
-            v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
-            do_slab = do_ref[b, :, base : base + width]
-            dq_acc = jnp.zeros((n_pad, width), jnp.float32)
-            dk_acc = jnp.zeros((n_pad, width), jnp.float32)
-            dv_acc = jnp.zeros((n_pad, width), jnp.float32)
-            for hh in range(min(group, num_heads - g0)):
-                hmask = (lane[:, :width] >= hh * head_dim) & (
-                    lane[:, :width] < (hh + 1) * head_dim
-                )
-                zeros = jnp.zeros_like(k_slab)
-                q_h = jnp.where(hmask, q_slab, zeros)
-                k_h = jnp.where(hmask, k_slab, zeros)
-                v_h = jnp.where(hmask, v_slab, zeros)
-                do_h = jnp.where(hmask, do_slab, zeros)
-                # recompute p (f32, in VMEM)
-                s = jax.lax.dot_general(
-                    q_h, k_h, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale
-                s = jnp.where(key_mask, s, neg)
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - m)
-                p = e / jnp.sum(e, axis=-1, keepdims=True)
-                # softmax VJP entirely on-chip
-                dp = jax.lax.dot_general(
-                    do_h, v_h, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-                ds = ds.astype(qkv_ref.dtype)
-                p16 = p.astype(qkv_ref.dtype)
-                dq_acc = dq_acc + jnp.dot(
-                    ds, k_h, preferred_element_type=jnp.float32
-                ) * scale
-                dk_acc = dk_acc + jax.lax.dot_general(
-                    ds, q_h, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale
-                dv_acc = dv_acc + jax.lax.dot_general(
-                    p16, do_h, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            dqkv_ref[b, :, base : base + width] = dq_acc.astype(dqkv_ref.dtype)
-            dqkv_ref[b, :, d + base : d + base + width] = dk_acc.astype(
-                dqkv_ref.dtype
-            )
-            dqkv_ref[b, :, 2 * d + base : 2 * d + base + width] = (
-                dv_acc.astype(dqkv_ref.dtype)
-            )
+
+    def tile_iter():
+        for b in range(block_b):
+            for g0 in range(0, num_heads, group):
+                base = g0 * head_dim
+                width = min(gw, d - base)
+                for hh in range(min(group, num_heads - g0)):
+                    yield b, base, width, hh
+
+    s_tiles, dp_tiles, slabs = [], [], []
+    for b, base, width, hh in tile_iter():
+        q_slab = qkv_ref[b, :, base : base + width]
+        k_slab = qkv_ref[b, :, d + base : d + base + width]
+        v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
+        do_slab = do_ref[b, :, base : base + width]
+        hmask = (lane[:, :width] >= hh * head_dim) & (
+            lane[:, :width] < (hh + 1) * head_dim
+        )
+        zeros = jnp.zeros_like(k_slab)
+        q_h = jnp.where(hmask, q_slab, zeros)
+        k_h = jnp.where(hmask, k_slab, zeros)
+        v_h = jnp.where(hmask, v_slab, zeros)
+        do_h = jnp.where(hmask, do_slab, zeros)
+        s = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s_tiles.append(jnp.where(key_mask, s, neg))
+        dp_tiles.append(jax.lax.dot_general(
+            do_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        slabs.append((q_h, k_h, do_h))
+
+    s_all = jnp.concatenate(s_tiles, axis=0)
+    dp_all = jnp.concatenate(dp_tiles, axis=0)
+    m = jnp.max(s_all, axis=-1, keepdims=True)
+    e = jnp.exp(s_all - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    ds_all = (
+        p * (dp_all - jnp.sum(dp_all * p, axis=-1, keepdims=True))
+    ).astype(qkv_ref.dtype)
+    p_all = p.astype(qkv_ref.dtype)
+
+    acc = {}  # (b, base) -> [dq, dk, dv] accumulated in hh order
+    for idx, (b, base, width, hh) in enumerate(tile_iter()):
+        q_h, k_h, do_h = slabs[idx]
+        rows = slice(idx * n_pad, (idx + 1) * n_pad)
+        ds = ds_all[rows, :]
+        p16 = p_all[rows, :]
+        dq = jnp.dot(ds, k_h, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dv = jax.lax.dot_general(
+            p16, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        key = (b, base)
+        if key in acc:
+            old = acc[key]
+            acc[key] = [old[0] + dq, old[1] + dk, old[2] + dv]
+        else:
+            acc[key] = [dq, dk, dv]
+    for (b, base), (dq_acc, dk_acc, dv_acc) in acc.items():
+        width = min(gw, d - base)
+        dqkv_ref[b, :, base : base + width] = dq_acc.astype(dqkv_ref.dtype)
+        dqkv_ref[b, :, d + base : d + base + width] = dk_acc.astype(
+            dqkv_ref.dtype
+        )
+        dqkv_ref[b, :, 2 * d + base : 2 * d + base + width] = (
+            dv_acc.astype(dqkv_ref.dtype)
+        )
 
 
 @partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b",

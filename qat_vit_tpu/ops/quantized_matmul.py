@@ -76,12 +76,17 @@ def quantized_dense(
 ) -> jnp.ndarray:
     """quantize(x) → int8 GEMM → dequant(+bias): one serving-layer step.
 
-    ``use_pallas=None`` currently resolves to the XLA path: measured on a real
-    v5e (scripts/kernel_bench.py), XLA's int8 ``dot_general`` sustains
-    ~150-240 TOPs on the ViT-S shapes while the current Pallas kernel reaches
-    only ~45-60 TOPs — XLA overlaps the quantize/dequant fusions with the MXU
-    better than the single-panel Pallas schedule. The kernel remains available
-    (``use_pallas=True``) and is the optimization target for the next round.
+    ``use_pallas=None`` resolves to the XLA path: measured on a real v5e
+    (scripts/kernel_bench.py), XLA's int8 ``dot_general`` sustains ~150-240
+    TOPs on the ViT-S shapes while the standalone Pallas kernel reaches only
+    ~45-60 TOPs — XLA overlaps the quantize/dequant fusions with the MXU
+    better than the single-panel Pallas schedule. The resolution (round 2)
+    was not a faster standalone GEMM but removing the per-GEMM boundary
+    entirely: the serving preset runs each transformer block as ONE Pallas
+    kernel (ops/block_kernel.py) whose four GEMMs beat the composed XLA path
+    end-to-end (13,030 vs 6,557 img/s, docs/BENCHMARKS.md). This function
+    stays the building block for non-megablock geometries; the standalone
+    kernel remains available (``use_pallas=True``).
     """
     if use_pallas is None:
         use_pallas = False

@@ -223,9 +223,27 @@ def main():
 
         return lambda: run(params, opt0)
 
+    def attention_pallas_case(block_b=4):
+        from qat_vit_tpu.ops.flash_attention_train import attention_train
+
+        qkv = jnp.asarray(rng.normal(size=(B, N, 3 * D)).astype(np.float32)
+                          ).astype(jnp.bfloat16)
+
+        def f(qkv):
+            total = jnp.zeros((), jnp.float32)
+            x = qkv
+            for _ in range(LAYERS):
+                o = attention_train(x, H, HD, block_b)
+                total = total + (o * o).sum()
+                x = x * 0.999
+            return total
+
+        return _scan_grad(f, qkv)
+
     bench("attention", attention_case)
     bench("attention_bf16sm", lambda: attention_case(jnp.bfloat16))
     bench("attention_jaxnn", lambda: attention_case(impl="jaxnn"))
+    bench("attention_pallas", attention_pallas_case)
     bench("gelu", gelu_case)
     bench("gelu_approx_bf16", lambda: gelu_case_approx())
     bench("layernorm", layernorm_case)
