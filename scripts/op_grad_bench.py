@@ -244,6 +244,8 @@ def main():
     bench("attention_bf16sm", lambda: attention_case(jnp.bfloat16))
     bench("attention_jaxnn", lambda: attention_case(impl="jaxnn"))
     bench("attention_pallas", attention_pallas_case)
+    bench("attention_pallas2", lambda: attention_pallas_case(2))
+    bench("attention_pallas8", lambda: attention_pallas_case(8))
     bench("gelu", gelu_case)
     bench("gelu_approx_bf16", lambda: gelu_case_approx())
     bench("layernorm", layernorm_case)
