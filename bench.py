@@ -34,13 +34,16 @@ INFER_STEPS = 50
 REPEATS = 3
 
 
-def _timeit(fn) -> float:
-    best = float("inf")
+def _timeit(fn) -> tuple:
+    """(min, median) over REPEATS. min is the standard noise filter on a
+    tunneled device; the median rides along so headline configs can report
+    both (min can flatter when the tunnel hiccups the other repeats)."""
+    ts = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        ts.append(time.perf_counter() - t0)
+    return min(ts), sorted(ts)[len(ts) // 2]
 
 
 def _dispatch_overhead() -> float:
@@ -53,7 +56,7 @@ def _dispatch_overhead() -> float:
 
     x = jnp.zeros(())
     float(trivial(x))  # compile
-    return _timeit(lambda: float(trivial(x)))
+    return _timeit(lambda: float(trivial(x)))[0]
 
 
 def bench_qat_train(cache_teacher: bool = True, qat_dtype=None) -> float:
@@ -147,8 +150,12 @@ def bench_qat_train(cache_teacher: bool = True, qat_dtype=None) -> float:
         float(s)
         state = st
 
-    dt = _timeit(go) - _dispatch_overhead()
-    return TRAIN_BATCH * TRAIN_STEPS / dt
+    dt, dt_med = _timeit(go)
+    oh = _dispatch_overhead()
+    return (
+        TRAIN_BATCH * TRAIN_STEPS / (dt - oh),
+        TRAIN_BATCH * TRAIN_STEPS / (dt_med - oh),
+    )
 
 
 def bench_int8_infer(preset: bool = True) -> float:
@@ -192,8 +199,12 @@ def bench_int8_infer(preset: bool = True) -> float:
         return jax.lax.fori_loop(0, INFER_STEPS, body, jnp.zeros((), jnp.float32))
 
     float(run_n(qp, x))  # compile
-    dt = _timeit(lambda: float(run_n(qp, x))) - _dispatch_overhead()
-    return INFER_BATCH * INFER_STEPS / dt
+    dt, dt_med = _timeit(lambda: float(run_n(qp, x)))
+    oh = _dispatch_overhead()
+    return (
+        INFER_BATCH * INFER_STEPS / (dt - oh),
+        INFER_BATCH * INFER_STEPS / (dt_med - oh),
+    )
 
 
 def _watchdog_main() -> None:
@@ -284,15 +295,17 @@ def main() -> None:
     float(jax.jit(lambda x: x + 1.0)(_jnp.zeros(())))  # tunnel liveness probe
     print("[bench] device up", file=sys.stderr, flush=True)
 
-    train_ips_f32 = bench_qat_train(cache_teacher=True)
-    train_ips_full = bench_qat_train(cache_teacher=False)
+    train_ips_f32, _ = bench_qat_train(cache_teacher=True)
+    train_ips_full, _ = bench_qat_train(cache_teacher=False)
     # the DEFAULT config since round 2: qat_amp bf16 (full-scale evidence in
     # docs/BENCHMARKS.md — equal accuracy, int8 within 0.01% of QAT)
-    train_ips = bench_qat_train(cache_teacher=True, qat_dtype=_jnp.bfloat16)
+    train_ips, train_ips_med = bench_qat_train(
+        cache_teacher=True, qat_dtype=_jnp.bfloat16
+    )
     try:
-        infer_ips = bench_int8_infer()
+        infer_ips, infer_ips_med = bench_int8_infer()
     except Exception as e:  # int8 extras must not sink the headline number
-        infer_ips = None
+        infer_ips = infer_ips_med = None
 
         print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     result = {
@@ -302,6 +315,11 @@ def main() -> None:
         "vs_baseline": round(train_ips / BASELINE_QAT_TRAIN_IMGS_PER_SEC, 2),
         "extras": {
             "int8_infer_imgs_per_sec": round(infer_ips, 1) if infer_ips else None,
+            # medians over the 3 repeats (min is the headline; median guards
+            # against min flattering a hiccupy tunnel)
+            "qat_train_imgs_per_sec_median": round(train_ips_med, 1),
+            "int8_infer_imgs_per_sec_median": round(infer_ips_med, 1)
+            if infer_ips_med else None,
             "qat_train_imgs_per_sec_teacher_every_step": round(train_ips_full, 1),
             "qat_train_imgs_per_sec_f32_strict_parity": round(train_ips_f32, 1),
             "train_batch": TRAIN_BATCH,

@@ -76,6 +76,13 @@ class ViTConfig:
     # docs/BENCHMARKS.md. Off → exact f32 softmax/erf-GELU (reference
     # numerics).
     fast_math: bool = False
+    # Permit the fused Pallas attention kernel (used when fast_math is on
+    # and shapes qualify). The trainer sets this False on a multi-device
+    # mesh: a pallas_call is an opaque custom call the GSPMD partitioner
+    # cannot split, so inside a sharded jit it would force the batch to be
+    # all-gathered and replicate the attention work on every chip — the
+    # XLA einsum form (which GSPMD shards exactly) is faster there.
+    attn_kernel: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -275,7 +282,7 @@ class Attention(nn.Module):
             attention_train_available,
         )
 
-        if cfg.fast_math and attention_train_available(h, hd):
+        if cfg.fast_math and cfg.attn_kernel and attention_train_available(h, hd):
             # fused Pallas fwd + custom-VJP bwd: the [B,H,N,N] probability
             # tensor never exists in HBM in either direction (the dominant
             # activation traffic of the train step — train_step_bench.py)

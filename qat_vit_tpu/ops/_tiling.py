@@ -1,0 +1,57 @@
+"""Shared head-slab tiling for the group-masked attention kernels.
+
+One definition of the scheme used by ops/flash_attention.py (serving +
+training forward), ops/flash_attention_train.py (training backward), and
+ops/block_kernel.py (megablock): heads are processed in lane GROUPS of
+``group = 128 // head_dim`` heads, so every slice of the packed q|k|v
+thirds is 128-lane aligned (no Mosaic relayouts), and within a slab each
+head's dot masks the sibling heads' lanes. The alignment preconditions and
+the (image, slab, head) iteration order live here so the three kernels
+cannot drift (they did once: a missing ``128 % head_dim == 0`` gate).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LANE = 128
+
+
+def head_group(num_heads: int, head_dim: int) -> tuple:
+    """(group, slab_width): heads per 128-lane slab and the slab's width."""
+    group = max(1, LANE // head_dim) if head_dim <= LANE else 1
+    return group, group * head_dim
+
+
+def shapes_ok(num_heads: int, head_dim: int) -> bool:
+    """Shape preconditions of the scheme: the packed width must be
+    lane-aligned and head slabs must tile the 128-lane register exactly."""
+    d = num_heads * head_dim
+    return d % LANE == 0 and head_dim <= LANE and LANE % head_dim == 0
+
+
+def tile_iter(block_b: int, num_heads: int, head_dim: int):
+    """Yield (b, base, width, hh) for every (image, head) score tile, in the
+    accumulation order all kernels share (slab-major, head-within-slab)."""
+    group, gw = head_group(num_heads, head_dim)
+    d = num_heads * head_dim
+    for b in range(block_b):
+        for g0 in range(0, num_heads, group):
+            base = g0 * head_dim
+            width = min(gw, d - base)
+            for hh in range(min(group, num_heads - g0)):
+                yield b, base, width, hh
+
+
+def lane_iota(num_heads: int, head_dim: int):
+    """[1, slab_width] lane indices (for head_mask)."""
+    _, gw = head_group(num_heads, head_dim)
+    return jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+
+
+def head_mask(lane, width: int, hh: int, head_dim: int):
+    """[1, width] bool: the lanes belonging to head ``hh`` within its slab."""
+    return (lane[:, :width] >= hh * head_dim) & (
+        lane[:, :width] < (hh + 1) * head_dim
+    )

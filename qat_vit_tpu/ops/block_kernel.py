@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qat_vit_tpu.ops import _tiling as tiling
+
 _LANE = 128
 
 
@@ -117,23 +119,14 @@ def _block_kernel(
     # (same tiles, same masking, softmax rows are independent).
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
     key_mask = col < n_valid
-    group = max(1, _LANE // head_dim) if head_dim <= _LANE else 1
-    gw = group * head_dim
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+    lane = tiling.lane_iota(num_heads, head_dim)
     neg = jnp.float32(-1e30)
 
     def head_mask(width, hh):
-        return (lane[:, :width] >= hh * head_dim) & (
-            lane[:, :width] < (hh + 1) * head_dim
-        )
+        return tiling.head_mask(lane, width, hh, head_dim)
 
     def tile_iter():
-        for b in range(block_b):
-            for g0 in range(0, num_heads, group):
-                base = g0 * head_dim
-                width = min(gw, d - base)
-                for hh in range(min(group, num_heads - g0)):
-                    yield b, base, width, hh
+        return tiling.tile_iter(block_b, num_heads, head_dim)
 
     score_tiles = []
     for b, base, width, hh in tile_iter():
@@ -336,8 +329,7 @@ def block_forward(
 def megablock_shapes_ok(num_heads: int, head_dim: int) -> bool:
     """Shape preconditions alone (backend-independent; serving_preset uses
     this to pick a path before the backend check)."""
-    d = num_heads * head_dim
-    return d % _LANE == 0 and head_dim <= _LANE and _LANE % head_dim == 0
+    return tiling.shapes_ok(num_heads, head_dim)
 
 
 def megablock_available(num_heads: int, head_dim: int) -> bool:

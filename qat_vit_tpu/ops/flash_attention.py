@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qat_vit_tpu.ops import _tiling as tiling
+
 _LANE = 128
 
 
@@ -135,21 +137,14 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
     gw = group * head_dim  # slab width (=128 for head_dim 64)
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
     key_mask = col < n_valid
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+    lane = tiling.lane_iota(num_heads, head_dim)
     neg = jnp.float32(-1e30)
 
     def head_mask(width, hh):
-        return (lane[:, :width] >= hh * head_dim) & (
-            lane[:, :width] < (hh + 1) * head_dim
-        )
+        return tiling.head_mask(lane, width, hh, head_dim)
 
     def tile_iter():
-        for b in range(block_b):
-            for g0 in range(0, num_heads, group):
-                base = g0 * head_dim
-                width = min(gw, d - base)
-                for hh in range(min(group, num_heads - g0)):
-                    yield b, base, width, hh
+        return tiling.tile_iter(block_b, num_heads, head_dim)
 
     score_tiles = []
     for b, base, width, hh in tile_iter():
@@ -201,7 +196,7 @@ def _fused_attention_call(qkv, qs, num_heads, head_dim, block_b, quantize,
     b_pad = -(-b // block_b) * block_b
     if b_pad != b:
         qkv = jnp.pad(qkv, ((0, b_pad - b), (0, 0), (0, 0)))
-    group = max(1, _LANE // head_dim) if head_dim <= _LANE else 1
+    group, _ = tiling.head_group(num_heads, head_dim)
     out = pl.pallas_call(
         partial(
             _fused_attention_kernel,

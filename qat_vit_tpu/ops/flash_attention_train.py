@@ -32,9 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from qat_vit_tpu.ops import _tiling as tiling
 from qat_vit_tpu.ops.flash_attention import _fused_attention_call
-
-_LANE = 128
 
 
 def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
@@ -47,20 +46,13 @@ def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
     accumulation order, all row-wise independent ops."""
     n_pad = qkv_ref.shape[1]
     d = num_heads * head_dim
-    group = max(1, _LANE // head_dim) if head_dim <= _LANE else 1
-    gw = group * head_dim
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
     key_mask = col < n_valid
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+    lane = tiling.lane_iota(num_heads, head_dim)
     neg = jnp.float32(-1e30)
 
     def tile_iter():
-        for b in range(block_b):
-            for g0 in range(0, num_heads, group):
-                base = g0 * head_dim
-                width = min(gw, d - base)
-                for hh in range(min(group, num_heads - g0)):
-                    yield b, base, width, hh
+        return tiling.tile_iter(block_b, num_heads, head_dim)
 
     s_tiles, dp_tiles, slabs = [], [], []
     for b, base, width, hh in tile_iter():
@@ -68,9 +60,7 @@ def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
         k_slab = qkv_ref[b, :, d + base : d + base + width]
         v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
         do_slab = do_ref[b, :, base : base + width]
-        hmask = (lane[:, :width] >= hh * head_dim) & (
-            lane[:, :width] < (hh + 1) * head_dim
-        )
+        hmask = tiling.head_mask(lane, width, hh, head_dim)
         zeros = jnp.zeros_like(k_slab)
         q_h = jnp.where(hmask, q_slab, zeros)
         k_h = jnp.where(hmask, k_slab, zeros)
@@ -118,6 +108,7 @@ def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
             acc[key] = [old[0] + dq, old[1] + dk, old[2] + dv]
         else:
             acc[key] = [dq, dk, dv]
+    _, gw = tiling.head_group(num_heads, head_dim)
     for (b, base), (dq_acc, dk_acc, dv_acc) in acc.items():
         width = min(gw, d - base)
         dqkv_ref[b, :, base : base + width] = dq_acc.astype(dqkv_ref.dtype)
@@ -204,9 +195,10 @@ attention_train.defvjp(_attention_train_fwd, _attention_train_bwd)
 
 
 def attention_train_available(num_heads: int, head_dim: int) -> bool:
-    d = num_heads * head_dim
-    return (
-        jax.default_backend() == "tpu"
-        and d % _LANE == 0
-        and head_dim <= _LANE
+    # tiling.shapes_ok includes 128 % head_dim == 0: head slabs must tile
+    # the lane register exactly, or the packed qkv slices land at unaligned
+    # lane offsets (e.g. head_dim=48 -> 96-wide slabs) — the relayouts this
+    # scheme exists to avoid
+    return jax.default_backend() == "tpu" and tiling.shapes_ok(
+        num_heads, head_dim
     )

@@ -77,9 +77,20 @@ class Int8Predictor:
                 )
             repl = NamedSharding(self.mesh, P())
             shard = NamedSharding(self.mesh, P(axis))
-            self._fwd = jax.jit(
-                apply, in_shardings=(repl, shard), out_shardings=shard
+            # shard_map, not bare GSPMD jit: the preset's Pallas kernels are
+            # opaque custom calls the SPMD partitioner cannot split — under
+            # plain jit with a sharded batch they force replication
+            # (all-gather) instead of data-parallel execution. Under
+            # shard_map each device runs the unmodified per-device program
+            # on its batch shard — params replicated, zero collectives.
+            from jax.experimental.shard_map import shard_map
+
+            mapped = shard_map(
+                apply, mesh=self.mesh,
+                in_specs=(P(), P(axis)), out_specs=P(axis),
+                check_rep=False,
             )
+            self._fwd = jax.jit(mapped, out_shardings=shard)
             self.qparams = jax.device_put(self.qparams, repl)
         else:
             self._fwd = jax.jit(apply)

@@ -164,13 +164,18 @@ class KDQATTrainer:
         # fast_math (bf16 softmax + tanh GELU) rides the bf16 phases only;
         # the strict-parity f32 QAT step keeps exact reference numerics
         fast = bool(self.hp.get("amp_fast_math", True))
+        # the Pallas attention kernel only on an unsharded (1-device) step:
+        # GSPMD cannot partition the custom call (see ViTConfig.attn_kernel)
+        attn_kernel = self.mesh.devices.size == 1
         self.student_qat_cfg = dataclasses.replace(
             base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=qat_dtype,
             fast_math=fast and qat_dtype == jnp.bfloat16,
+            attn_kernel=attn_kernel,
         )
         self.student_float_cfg = dataclasses.replace(
             base_student.cfg, quant=None, qat_wrapper=False, dtype=dtype,
             fast_math=fast and dtype == jnp.bfloat16,
+            attn_kernel=attn_kernel,
         )
         from qat_vit_tpu.models.vit import VisionTransformer
 
@@ -449,6 +454,12 @@ class KDQATTrainer:
             "opt_state": jax.device_get(self.state.opt_state),
             "quant_stats": jax.device_get(qs) if qs is not None else {},
             "step": int(self.state.step),
+            # epoch/qat_enabled ride INSIDE the msgpack so the resume info
+            # is crash-atomic with the params (the JSON sidecar can pair
+            # with the wrong msgpack if a crash lands between the two
+            # publishes); the sidecar duplicates them for humans
+            "epoch": int(epoch),
+            "qat_enabled": int(self.qat_enabled),
         }
         return save_checkpoint(
             path, tree,
@@ -459,11 +470,25 @@ class KDQATTrainer:
     def load_resume_state(self, path: str) -> int:
         """Restore a resume checkpoint; returns the epoch to continue FROM.
         If the checkpoint was taken under QAT, the QAT phase is re-enabled
-        first so optimizer/observer trees have the right structure."""
+        first so optimizer/observer trees have the right structure.
+
+        epoch/qat_enabled are read from leaves embedded in the msgpack
+        (atomic with the params); the JSON sidecar is only a fallback for
+        checkpoints written before they were embedded."""
         from qat_vit_tpu.utils.checkpoint import load_checkpoint, load_metadata
 
+        raw = load_checkpoint(path)  # raw restore: peek at embedded metadata
         meta = load_metadata(path)
-        if meta.get("qat_enabled"):
+        embedded = "epoch" in raw
+        qat_enabled = bool(
+            int(np.asarray(raw["qat_enabled"]))
+            if embedded else meta.get("qat_enabled", False)
+        )
+        epoch = (
+            int(np.asarray(raw["epoch"])) if embedded
+            else int(meta.get("epoch", -1))
+        )
+        if qat_enabled:
             self.enable_qat()
         repl = replicated_sharding(self.mesh)
         template = {
@@ -475,6 +500,9 @@ class KDQATTrainer:
             ),
             "step": int(self.state.step),
         }
+        if embedded:
+            template["epoch"] = 0
+            template["qat_enabled"] = 0
         restored = load_checkpoint(path, template)
         self.state = TrainState(
             params=jax.device_put(restored["params"], repl),
@@ -485,7 +513,7 @@ class KDQATTrainer:
             ),
             step=jnp.asarray(restored["step"], jnp.int32),
         )
-        return int(meta.get("epoch", -1)) + 1
+        return epoch + 1
 
     # ------------------------------------------------------------------
     def convert_int8(self) -> Dict[str, Any]:

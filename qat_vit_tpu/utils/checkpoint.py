@@ -33,21 +33,22 @@ def _to_numpy(tree):
 def save_checkpoint(path: str, tree: Dict[str, Any], metadata: Optional[dict] = None) -> str:
     """Serialize a pytree (params / quant_stats / int8 export) to msgpack.
 
-    Both the msgpack and its JSON metadata sidecar are published atomically,
-    metadata first: a crash mid-save leaves either the old pair intact or a
-    new sidecar next to the old msgpack — never a new msgpack with stale
-    epoch/qat_enabled metadata (which would resume at the wrong epoch)."""
+    Both files are published atomically (tmp + os.replace), the msgpack
+    first. The JSON sidecar is advisory — no ordering of two files can make
+    the pair crash-atomic, so any state a LOADER depends on (resume epoch,
+    qat_enabled) must live as leaves inside the msgpack tree itself
+    (save_resume_state does this); the sidecar exists for humans and tools."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     data = serialization.to_bytes(_to_numpy(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic publish
     if metadata is not None:
         meta_tmp = path + ".json.tmp"
         with open(meta_tmp, "w") as f:
             json.dump(metadata, f, indent=2, default=str)
         os.replace(meta_tmp, path + ".json")
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)  # atomic publish
     return path
 
 

@@ -38,7 +38,11 @@ total_cpu() {
 
 restarts=0
 while [ "$restarts" -le "$MAX_RESTARTS" ]; do
-  "$@" >> "$LOG" 2>&1 &
+  # setsid: the job gets its own process group (pgid = pid), so a stall-kill
+  # can take down DESCENDANTS too — killing only the direct child leaves a
+  # wedged grandchild holding the single-client tunnel registration, which
+  # wedges every relaunch (and its log writes keep resetting the stall clock)
+  setsid "$@" >> "$LOG" 2>&1 &
   pid=$!
   echo "[watchdog] started pid=$pid (restart #$restarts)" >> "$LOG"
   last_cpu=0
@@ -52,7 +56,7 @@ while [ "$restarts" -le "$MAX_RESTARTS" ]; do
        && [ $((cpu - last_cpu)) -lt "$CPU_DELTA_MIN" ]; then
       echo "[watchdog] stall: log silent $((now - mtime))s, cpu flat" \
            "($last_cpu -> $cpu) - restarting" >> "$LOG"
-      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      kill -- "-$pid" 2>/dev/null; sleep 5; kill -9 -- "-$pid" 2>/dev/null
       break
     fi
     last_cpu=$cpu

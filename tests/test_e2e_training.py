@@ -154,6 +154,41 @@ class TestEndToEnd:
         m2 = t2.train_epoch(1, limit_batches=2)
         np.testing.assert_allclose(m1["train_loss"], m2["train_loss"], rtol=1e-5)
 
+        # resume info must come from leaves embedded in the msgpack, not the
+        # JSON sidecar — a crash between the two publishes can leave a stale
+        # sidecar beside a newer msgpack (regression: sidecar-driven resume
+        # skipped an epoch / missed the QAT re-enable)
+        import json
+
+        with open(path + ".json", "w") as f:
+            json.dump({"epoch": 7, "qat_enabled": False}, f)
+        t3 = KDQATTrainer(hp, data=data, student=student, teacher=teacher,
+                          teacher_params=t1.teacher_params,
+                          steps=t1.shared_steps())
+        assert t3.load_resume_state(path) == 1 and t3.qat_enabled
+
+    def test_attn_kernel_gated_off_on_multi_device_mesh(self, tmp_path,
+                                                        micro_models):
+        """The fused Pallas attention kernel is an opaque custom call GSPMD
+        cannot partition — the trainer must disable it whenever the step is
+        sharded over >1 device (it would force a batch all-gather), and keep
+        it for the 1-device mesh."""
+        from qat_vit_tpu.parallel import make_mesh
+
+        student, teacher = micro_models
+        hp = _micro_hparams(tmp_path)
+        data = synthetic_cifar10(n_train=64, n_test=64, seed=3)
+        t8 = KDQATTrainer(hp, data=data, student=student, teacher=teacher,
+                          mesh=make_mesh())
+        assert not t8.student_qat_cfg.attn_kernel
+        assert not t8.student_float_cfg.attn_kernel
+        t1 = KDQATTrainer(hp, data=data, student=student, teacher=teacher,
+                          teacher_params=t8.teacher_params,
+                          mesh=make_mesh(data=1, model=1,
+                                         devices=jax.devices()[:1]))
+        assert t1.student_qat_cfg.attn_kernel
+        assert t1.student_float_cfg.attn_kernel
+
     def test_checkpoint_roundtrip(self, tmp_path, micro_models):
         """best_qat checkpoint restores into a working model (replaces the
         reference's untested strict=False loaders)."""
