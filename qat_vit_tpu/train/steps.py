@@ -105,6 +105,7 @@ def make_train_step(
     qat: bool,
     image_size: int,
     donate: bool = True,
+    observe: bool = True,
 ) -> Callable:
     """Build the jitted KD(+QAT) train step.
 
@@ -138,7 +139,7 @@ def make_train_step(
             t_logits = jax.lax.stop_gradient(teacher_apply(teacher_params, x))
 
         def loss_fn(params):
-            if qat:
+            if qat and observe:
                 s_logits, mutated = student_apply(
                     {"params": params, "quant_stats": state.quant_stats},
                     x,
@@ -146,6 +147,18 @@ def make_train_step(
                     mutable=["quant_stats"],
                 )
                 new_qs = mutated["quant_stats"]
+            elif qat:
+                # observer-frozen QAT step (trainer's opt-in
+                # observer_interval): fake-quant from the current stats, no
+                # min/max reductions or EMA writes — measured 30% of the QAT
+                # step on v5e (scripts/train_step_bench.py qat_step vs
+                # qat_step_noobserve)
+                s_logits = student_apply(
+                    {"params": params, "quant_stats": state.quant_stats},
+                    x,
+                    observe=False,
+                )
+                new_qs = state.quant_stats
             else:
                 s_logits = student_apply({"params": params}, x, observe=False)
                 new_qs = state.quant_stats

@@ -263,6 +263,19 @@ class KDQATTrainer:
         self.eval_step_qat = shared.get("eval_qat") or make_eval_step(
             self.student_qat.apply, qat=True, image_size=image_size
         )
+        # opt-in beyond-parity throughput lever: update observers every k-th
+        # QAT step, fake-quant from frozen stats in between. 1 (default) =
+        # the reference's every-step torch.ao EMA semantics. The frozen step
+        # is a SECOND compiled program selected per step in Python — no
+        # lax.cond, so each variant keeps its full XLA fusion quality.
+        self.observer_interval = max(1, int(self.hp.get("observer_interval", 1)))
+        self.train_step_qat_frozen = shared.get("train_qat_frozen") or (
+            make_train_step(
+                step_teacher, self.student_qat.apply, self.tx,
+                qat=True, image_size=image_size, observe=False,
+            ) if self.observer_interval > 1 else None
+        )
+        self._qat_py_step = 0  # QAT steps taken (host-side, for the interval)
         # shareable across search trials: the teacher (and so its logits)
         # is identical for every trial (ref optuna_search.py:118-120)
         self._teacher_logits: Optional[np.ndarray] = teacher_logits
@@ -297,6 +310,7 @@ class KDQATTrainer:
             "eval_float": self.eval_step_float,
             "train_qat": self.train_step_qat,
             "eval_qat": self.eval_step_qat,
+            "train_qat_frozen": self.train_step_qat_frozen,
         }
 
     # ------------------------------------------------------------------
@@ -324,6 +338,7 @@ class KDQATTrainer:
             step=self.state.step,
         )
         self.qat_enabled = True
+        self._qat_py_step = 0  # first QAT step must observe (±inf markers)
         logger.info("QAT enabled (lr -> %.3g)", lr)
 
     # ------------------------------------------------------------------
@@ -365,6 +380,14 @@ class KDQATTrainer:
         self.train_loader.set_epoch(epoch)
         self._ensure_teacher_logits()
         step_fn = self.train_step_qat if self.qat_enabled else self.train_step_float
+        # observer_interval > 1: observe on every k-th QAT step (the FIRST
+        # QAT step always observes — observers start at the ±inf markers and
+        # fake-quant needs calibrated ranges), frozen-stats step otherwise
+        use_interval = (
+            self.qat_enabled
+            and self.observer_interval > 1
+            and self.train_step_qat_frozen is not None
+        )
         device_metrics = []  # device scalars: no host sync until epoch end
         n_batches = 0
         n_images = 0
@@ -386,7 +409,12 @@ class KDQATTrainer:
             if self.cache_teacher:
                 host_batch["teacher_logits"] = self._teacher_logits[batch["index"]]
             batch = shard_batch(host_batch, self.mesh)
-            self.state, metrics = step_fn(
+            fn = step_fn
+            if use_interval:
+                if self._qat_py_step % self.observer_interval:
+                    fn = self.train_step_qat_frozen
+                self._qat_py_step += 1
+            self.state, metrics = fn(
                 self.state, self.teacher_params, batch, self.loss_hp
             )
             device_metrics.append(metrics)

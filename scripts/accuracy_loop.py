@@ -86,11 +86,12 @@ def phase_search(workdir: str, data_dir: str, teacher_ckpt: str,
 
 
 def phase_final(workdir: str, data_dir: str, teacher_ckpt: str,
-                best_params: str, epochs: int, qat_amp: bool) -> dict:
+                best_params: str, epochs: int, qat_amp: bool,
+                extra: dict = None, tag: str = None) -> dict:
     from qat_vit_tpu.train.config import load_hparams
     from qat_vit_tpu.train.trainer import train_main
 
-    tag = "amp" if qat_amp else "f32"
+    tag = tag or ("amp" if qat_amp else "f32")
     out = os.path.join(workdir, f"final_{tag}")
     done = os.path.join(out, "RESULT.json")
     if os.path.isfile(done):
@@ -103,6 +104,7 @@ def phase_final(workdir: str, data_dir: str, teacher_ckpt: str,
         mlflow_uri=f"sqlite:///{out}/mlflow.db",
         eval_batch_size=512,
     )
+    hp.update(extra or {})
     # the search space allows qat_start_epoch up to its epochs-2; clamp to
     # this run's horizon (reference uses the yaml value as-is at matching
     # epoch budgets)
@@ -225,6 +227,11 @@ def main(argv=None):
     p.add_argument("--search-epochs", type=int, default=10)
     p.add_argument("--final-epochs", type=int, default=10)
     p.add_argument("--skip-amp-variant", action="store_true")
+    p.add_argument("--skip-f32-variant", action="store_true")
+    p.add_argument("--observer-interval", type=int, default=1,
+                   help="also run a final variant with this "
+                        "observer_interval (accuracy evidence for the "
+                        "opt-in throughput lever)")
     args = p.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -239,12 +246,18 @@ def main(argv=None):
     if args.phase == "search":
         return
     finals = {}
-    finals["f32"] = phase_final(args.workdir, data_dir, teacher_ckpt, best,
-                                args.final_epochs, qat_amp=False)
+    if not args.skip_f32_variant:
+        finals["f32"] = phase_final(args.workdir, data_dir, teacher_ckpt,
+                                    best, args.final_epochs, qat_amp=False)
     if not args.skip_amp_variant:
         finals["qat_amp(bf16)"] = phase_final(
             args.workdir, data_dir, teacher_ckpt, best,
             args.final_epochs, qat_amp=True)
+    if args.observer_interval > 1:
+        k = args.observer_interval
+        finals[f"qat_amp+obs/{k}"] = phase_final(
+            args.workdir, data_dir, teacher_ckpt, best, args.final_epochs,
+            qat_amp=True, extra={"observer_interval": k}, tag=f"obs{k}")
     if args.phase == "final":
         return
     phase_report(args.workdir, data_dir, teacher_ckpt, finals)

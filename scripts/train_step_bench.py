@@ -132,7 +132,7 @@ def main():
 
         return lambda: run()
 
-    def full_step(bundle, qat, pre_extracted=False):
+    def full_step(bundle, qat, pre_extracted=False, observe=True):
         tx = make_optimizer(1.5e-4, 1e-3)
         params = nn.meta.unbox(
             bundle.module.init(jax.random.key(1), bundle.example_input(1),
@@ -150,11 +150,17 @@ def main():
 
             def loss_fn(params):
                 variables = {"params": params}
-                if qat:
+                if qat and observe:
                     variables["quant_stats"] = st.quant_stats
                     logits, mut = bundle.module.apply(
                         variables, x, observe=True, mutable=["quant_stats"])
                     new_qs = mut["quant_stats"]
+                elif qat:
+                    # observer-free QAT step: fake-quant from frozen stats —
+                    # the per-step shape of an observer_interval skip step
+                    variables["quant_stats"] = st.quant_stats
+                    logits = bundle.module.apply(variables, x, observe=False)
+                    new_qs = st.quant_stats
                 else:
                     logits = bundle.module.apply(variables, x, observe=False)
                     new_qs = st.quant_stats
@@ -299,6 +305,8 @@ def main():
     bench("qat_fwd", lambda: fwd_only(bf16, qat=True, observe=False))
     bench("qat_fwd_observe", lambda: fwd_only(bf16, qat=True, observe=True))
     bench("qat_step", lambda: full_step(bf16, qat=True))
+    bench("qat_step_noobserve", lambda: full_step(bf16, qat=True,
+                                                  observe=False))
     bench("qat_step_f32", lambda: full_step(f32, qat=True))
 
 

@@ -167,6 +167,35 @@ class TestEndToEnd:
                           steps=t1.shared_steps())
         assert t3.load_resume_state(path) == 1 and t3.qat_enabled
 
+    def test_observer_interval_freezes_stats_between_updates(
+        self, tmp_path, micro_models
+    ):
+        """observer_interval=k (opt-in throughput lever): the observer EMA
+        advances only on every k-th QAT step — after 2 steps at k=2 the
+        stats must equal a 1-step every-step run (step 1 ran frozen), while
+        the optimizer still took both steps."""
+        student, teacher = micro_models
+        data = synthetic_cifar10(n_train=256, n_test=64, seed=4)
+        t_a = KDQATTrainer(
+            _micro_hparams(tmp_path, observer_interval=2),
+            data=data, student=student, teacher=teacher,
+        )
+        t_a.enable_qat()
+        t_a.train_epoch(0, limit_batches=2)
+        assert int(t_a.state.step) == 2  # both optimizer steps happened
+
+        t_b = KDQATTrainer(
+            _micro_hparams(tmp_path), data=data, student=student,
+            teacher=teacher, teacher_params=t_a.teacher_params,
+        )
+        t_b.enable_qat()
+        t_b.train_epoch(0, limit_batches=1)
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(t_a.state.quant_stats)),
+            jax.tree.leaves(jax.device_get(t_b.state.quant_stats)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_attn_kernel_gated_off_on_multi_device_mesh(self, tmp_path,
                                                         micro_models):
         """The fused Pallas attention kernel is an opaque custom call GSPMD
