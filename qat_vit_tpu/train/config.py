@@ -76,12 +76,11 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     "amp_fast_math": True,
     # Update the fake-quant observers every k-th QAT step (EMA decay
     # unchanged), fake-quanting from frozen stats in between. 1 = the
-    # reference's every-step torch.ao EMA (default, exact parity). The
-    # observer reductions measure 30% of the bf16 QAT step on v5e
-    # (train_step_bench qat_step 103.7 vs qat_step_noobserve 73.1 ms), so
-    # k=4 recovers ~22%% step time; the EMA then adapts k× slower —
-    # validate accuracy for your model before production (full-scale ViT-S
-    # evidence in docs/BENCHMARKS.md).
+    # reference's every-step torch.ao EMA (default, exact parity). Measured
+    # on v5e at batch 256 (train_step_bench *_dispatch variants): k=4 →
+    # +9%% step throughput, k=8 → +10%%; accuracy-neutral at k=4 in the
+    # full-scale ViT-S loop (docs/BENCHMARKS.md). The EMA adapts k× slower
+    # — validate accuracy for your model before production.
     "observer_interval": 1,
     "progress_bar": False,  # tqdm batch progress (ref qat_trainer.py:323-328)
     # int8 export with per-output-channel weight scales (accuracy upgrade

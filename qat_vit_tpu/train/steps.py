@@ -150,9 +150,10 @@ def make_train_step(
             elif qat:
                 # observer-frozen QAT step (trainer's opt-in
                 # observer_interval): fake-quant from the current stats, no
-                # min/max reductions or EMA writes — measured 30% of the QAT
-                # step on v5e (scripts/train_step_bench.py qat_step vs
-                # qat_step_noobserve)
+                # min/max reductions or EMA writes — ~11 ms of the 104 ms
+                # batch-256 QAT step in the real mixed pattern
+                # (scripts/train_step_bench.py *_dispatch variants;
+                # docs/BENCHMARKS.md)
                 s_logits = student_apply(
                     {"params": params, "quant_stats": state.quant_stats},
                     x,

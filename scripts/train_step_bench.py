@@ -307,6 +307,123 @@ def main():
     bench("qat_step", lambda: full_step(bf16, qat=True))
     bench("qat_step_noobserve", lambda: full_step(bf16, qat=True,
                                                   observe=False))
+
+    def full_step_dispatch(bundle, interval):
+        """The trainer's observer_interval pattern EXACTLY: two separately
+        jitted steps (observe / frozen) selected per step in Python, chained
+        donated states. Python-dispatched (not scan-inside-jit) — dispatches
+        pipeline on the device queue, so with STEPS x ~80 ms of compute the
+        per-dispatch RPC hides; compare against qat_step_dispatch (same
+        dispatch pattern, interval=1) rather than the scan variants."""
+        tx = make_optimizer(1.5e-4, 1e-3)
+        params = nn.meta.unbox(
+            bundle.module.init(jax.random.key(1), bundle.example_input(1),
+                               observe=False))["params"]
+        state0 = TrainState(
+            params=params, opt_state=tx.init(params),
+            quant_stats=init_quant_stats(bundle.module, bundle.cfg),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        def make_one(observe):
+            def one(st):
+                x = prep(images)
+
+                def loss_fn(params):
+                    variables = {"params": params,
+                                 "quant_stats": st.quant_stats}
+                    if observe:
+                        logits, mut = bundle.module.apply(
+                            variables, x, observe=True,
+                            mutable=["quant_stats"])
+                        new_qs = mut["quant_stats"]
+                    else:
+                        logits = bundle.module.apply(variables, x,
+                                                     observe=False)
+                        new_qs = st.quant_stats
+                    loss, _ = kd_loss(logits, t_logits, labels, alpha=0.5,
+                                      temperature=4.0, label_smoothing=0.1)
+                    return loss, new_qs
+
+                grads, new_qs = jax.grad(loss_fn, has_aux=True)(st.params)
+                updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                return TrainState(optax.apply_updates(st.params, updates),
+                                  new_opt, new_qs, st.step + 1)
+
+            return jax.jit(one, donate_argnums=(0,))
+
+        step_obs = make_one(True)
+        step_frz = make_one(False) if interval > 1 else None
+        carry = {"st": state0}
+
+        def run():
+            st = carry["st"]
+            for i in range(STEPS):
+                fn = step_obs if i % interval == 0 else step_frz
+                st = fn(st)
+            out = jax.tree.leaves(st.params)[0].sum()
+            carry["st"] = st
+            return out
+
+        return run
+
+    bench("qat_step_dispatch", lambda: full_step_dispatch(bf16, 1))
+    bench("qat_step_obs4_dispatch", lambda: full_step_dispatch(bf16, 4))
+
+    def full_step_obs_cond(bundle, interval):
+        """observer_interval as ONE executable: lax.cond(step %% k) between
+        the observe and frozen step bodies — no executable-boundary layout
+        conversions (the two-executable dispatch pattern loses ~19 ms of the
+        frozen step's win to them), at the cost of compiling both branches
+        into one program."""
+        tx = make_optimizer(1.5e-4, 1e-3)
+        params = nn.meta.unbox(
+            bundle.module.init(jax.random.key(1), bundle.example_input(1),
+                               observe=False))["params"]
+        state0 = TrainState(
+            params=params, opt_state=tx.init(params),
+            quant_stats=init_quant_stats(bundle.module, bundle.cfg),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        def body(st, observe):
+            x = prep(images)
+
+            def loss_fn(params):
+                variables = {"params": params, "quant_stats": st.quant_stats}
+                if observe:
+                    logits, mut = bundle.module.apply(
+                        variables, x, observe=True, mutable=["quant_stats"])
+                    new_qs = mut["quant_stats"]
+                else:
+                    logits = bundle.module.apply(variables, x, observe=False)
+                    new_qs = st.quant_stats
+                loss, _ = kd_loss(logits, t_logits, labels, alpha=0.5,
+                                  temperature=4.0, label_smoothing=0.1)
+                return loss, new_qs
+
+            grads, new_qs = jax.grad(loss_fn, has_aux=True)(st.params)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            return TrainState(optax.apply_updates(st.params, updates),
+                              new_opt, new_qs, st.step + 1)
+
+        def one(st, i):
+            return jax.lax.cond(
+                st.step % interval == 0,
+                lambda s: body(s, True),
+                lambda s: body(s, False),
+                st,
+            ), None
+
+        @jax.jit
+        def run():
+            final, _ = jax.lax.scan(one, state0, jnp.arange(STEPS))
+            return jax.tree.leaves(final.params)[0].sum()
+
+        return lambda: run()
+
+    bench("qat_step_obs4_cond", lambda: full_step_obs_cond(bf16, 4))
+    bench("qat_step_obs8_dispatch", lambda: full_step_dispatch(bf16, 8))
     bench("qat_step_f32", lambda: full_step(f32, qat=True))
 
 
