@@ -282,7 +282,11 @@ class Attention(nn.Module):
             attention_train_available,
         )
 
-        if cfg.fast_math and cfg.attn_kernel and attention_train_available(h, hd):
+        if (
+            cfg.fast_math
+            and cfg.attn_kernel
+            and attention_train_available(h, hd, seq_len=N)
+        ):
             # fused Pallas fwd + custom-VJP bwd: the [B,H,N,N] probability
             # tensor never exists in HBM in either direction (the dominant
             # activation traffic of the train step — train_step_bench.py)

@@ -55,3 +55,20 @@ def head_mask(lane, width: int, hh: int, head_dim: int):
     return (lane[:, :width] >= hh * head_dim) & (
         lane[:, :width] < (hh + 1) * head_dim
     )
+
+
+def batched_softmax_fits(
+    num_heads: int,
+    n_pad: int,
+    block_b: int = 4,
+    budget_bytes: int = 24 * 1024 * 1024,
+) -> bool:
+    """Whether the batched-softmax scheme's stacked score tensor fits VMEM.
+
+    The kernels hold ``block_b * num_heads`` f32 score tiles of
+    ``[n_pad, n_pad]`` live at once (plus exp/probability copies of similar
+    size, covered by the conservative budget vs the raised
+    ``vmem_limit_bytes``). Short ViT sequences (224-padded: 4.8 MB) fit
+    easily; long-sequence geometries like OWLv2-base's 2305 tokens would
+    need ~1 GB and must fall back to the XLA attention forms."""
+    return block_b * num_heads * n_pad * n_pad * 4 <= budget_bytes

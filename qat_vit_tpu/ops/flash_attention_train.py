@@ -194,11 +194,19 @@ def _attention_train_bwd(num_heads, head_dim, block_b, interpret, qkv, do):
 attention_train.defvjp(_attention_train_fwd, _attention_train_bwd)
 
 
-def attention_train_available(num_heads: int, head_dim: int) -> bool:
+def attention_train_available(
+    num_heads: int, head_dim: int, seq_len: int = None
+) -> bool:
     # tiling.shapes_ok includes 128 % head_dim == 0: head slabs must tile
     # the lane register exactly, or the packed qkv slices land at unaligned
     # lane offsets (e.g. head_dim=48 -> 96-wide slabs) — the relayouts this
-    # scheme exists to avoid
+    # scheme exists to avoid. With seq_len given, also require the batched
+    # softmax's stacked score tiles to fit VMEM (long-sequence models fall
+    # back to the XLA einsum forms).
+    if seq_len is not None:
+        n_pad = max(32, -(-seq_len // 32) * 32)
+        if not tiling.batched_softmax_fits(num_heads, n_pad):
+            return False
     return jax.default_backend() == "tpu" and tiling.shapes_ok(
         num_heads, head_dim
     )

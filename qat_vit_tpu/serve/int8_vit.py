@@ -489,15 +489,23 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
     mixed chain with the fused attention kernel (same head-slab geometry) →
     plain XLA int8 path (the bf16 + tanh-GELU variant, shape-safe for any
     geometry)."""
+    from qat_vit_tpu.ops import _tiling as tiling
     from qat_vit_tpu.ops.block_kernel import megablock_shapes_ok
 
     d = cfg.num_heads * cfg.head_dim
     # the fused attention kernel tiles heads into 128-lane slabs with the
     # same divisibility requirements as the megablock kernel
     attn_ok = megablock_shapes_ok(cfg.num_heads, cfg.head_dim)
-    if cfg.act == "gelu" and attn_ok:
+    # the batched softmax stacks block_b*heads [n_pad, n_pad] f32 score
+    # tiles in VMEM — long sequences (OWLv2-base: 2305 tokens) don't fit
+    # and must stay on the XLA attention forms
+    n_tight = -(-cfg.seq_len // 32) * 32  # megablock's 32-sublane padding
+    n_lane = -(-cfg.seq_len // 128) * 128  # fused attention pads to 128
+    if cfg.act == "gelu" and attn_ok and tiling.batched_softmax_fits(
+        cfg.num_heads, n_tight
+    ):
         return {"fused": "megablock:4:tight"}
-    if attn_ok:
+    if attn_ok and tiling.batched_softmax_fits(cfg.num_heads, n_lane):
         # quick-GELU models keep fc1's activation in XLA (mixed_none computes
         # the exact trained activation there); the Pallas GEMM epilogues bake
         # in tanh-GELU, so they are gelu-only

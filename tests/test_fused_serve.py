@@ -282,3 +282,21 @@ class TestServingModeSelection:
         # ViT-Ti geometry: d=192 is lane-misaligned -> plain XLA path
         misaligned = ViTConfig(embed_dim=192, num_heads=3)
         assert _preset_kernel_opts(misaligned) == {}
+        # OWLv2-base geometry: lane-aligned heads but 2305-token sequences —
+        # the batched-softmax scheme's stacked score tiles (~1 GB) cannot
+        # live in VMEM; the preset must fall back to the XLA forms
+        # (regression: the gate only checked head geometry)
+        long_seq = ViTConfig(embed_dim=768, num_heads=12, image_size=768,
+                             act="quick_gelu", pre_norm=True)
+        assert _preset_kernel_opts(long_seq) == {}
+        long_seq_gelu = ViTConfig(embed_dim=768, num_heads=12, image_size=768)
+        assert _preset_kernel_opts(long_seq_gelu) == {}
+
+    def test_attention_train_seq_len_gate(self):
+        from qat_vit_tpu.ops.flash_attention_train import (
+            attention_train_available,
+        )
+
+        # seq fit is independent of backend: a 2305-token ViT-B geometry
+        # must be rejected even where the head geometry qualifies
+        assert not attention_train_available(12, 64, seq_len=2305)
