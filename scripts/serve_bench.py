@@ -106,7 +106,17 @@ def main():
     only = set(sys.argv[2:])
     print(f"backend={jax.default_backend()} batch={batch} iters={ITERS}")
 
-    student = create_student("vit")
+    # QVT_MODEL selects the geometry (default ViT-S student; e.g.
+    # QVT_MODEL=vit_base_patch16_224_teacher measures int8 serving of the
+    # quantized TEACHER — the megablock kernel is geometry-generic for any
+    # lane-aligned gelu ViT)
+    model_name = os.environ.get("QVT_MODEL", "")
+    if model_name:
+        from qat_vit_tpu.models import create_model
+
+        student = create_model(model_name, qat_wrapper=True)
+    else:
+        student = create_student("vit")
     variables = nn.meta.unbox(
         student.module.init(jax.random.key(0), student.example_input(1),
                             observe=False))
