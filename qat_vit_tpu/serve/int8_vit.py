@@ -504,7 +504,17 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
     if cfg.act == "gelu" and attn_ok and tiling.batched_softmax_fits(
         cfg.num_heads, n_tight
     ):
-        return {"fused": "megablock:4:tight"}
+        # geometry-aware batch tile: the largest block_b whose stacked
+        # score tensor stays ≤ 5 MB — the measured sweet spot on both
+        # ViT-S (picks 4: 21.7 ms < bb2 22.4 < bb8 26.3) and ViT-B
+        # (picks 2: 5,158 img/s vs bb4 4,607, bb8 4,845); beyond it VMEM
+        # pressure defeats Mosaic's pipelining (docs/BENCHMARKS.md)
+        bb = next(
+            (b for b in (8, 4, 2)
+             if b * cfg.num_heads * n_tight * n_tight * 4 <= 5 * 1024 * 1024),
+            1,
+        )
+        return {"fused": f"megablock:{bb}:tight"}
     if attn_ok and tiling.batched_softmax_fits(cfg.num_heads, n_lane):
         # quick-GELU models keep fc1's activation in XLA (mixed_none computes
         # the exact trained activation there); the Pallas GEMM epilogues bake

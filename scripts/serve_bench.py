@@ -185,7 +185,8 @@ def main():
         bench(f"megablock:{bb}", lambda qp, x, m=f"megablock:{bb}": int8_apply(
             qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
             fused=m))
-    for mode in ("megablock:4:tight", "megablock:2:tight", "megablock:8:tight"):
+    for mode in ("megablock:4:tight", "megablock:2:tight", "megablock:8:tight",
+                 "megablock:1:tight"):
         bench(mode, lambda qp, x, m=mode: int8_apply(
             qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
             fused=m))

@@ -273,9 +273,11 @@ class TestServingModeSelection:
         from qat_vit_tpu.serve.int8_vit import _preset_kernel_opts
 
         aligned_gelu = ViTConfig(embed_dim=384, num_heads=6)  # ViT-S
-        assert _preset_kernel_opts(aligned_gelu)["fused"].startswith(
-            "megablock"
-        )
+        assert _preset_kernel_opts(aligned_gelu)["fused"] == "megablock:4:tight"
+        # ViT-B: twice the heads -> the 5 MB stacked-score budget halves the
+        # batch tile (measured optimum: bb2 5,158 img/s vs bb4 4,607)
+        vit_b = ViTConfig(embed_dim=768, num_heads=12)
+        assert _preset_kernel_opts(vit_b)["fused"] == "megablock:2:tight"
         aligned_qg = ViTConfig(embed_dim=768, num_heads=12, act="quick_gelu")
         opts = _preset_kernel_opts(aligned_qg)
         assert opts == {"fused": "mixed_none", "attn_impl": "pallas_fused"}
