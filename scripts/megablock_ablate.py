@@ -22,6 +22,16 @@ to locate the cost:
     post_div    batched; 1/sum folded AFTER the value dot (negative result:
                 a one-session -1.2 ms did not reproduce — fresh A/B ties at
                 18.84/18.86 ms — and it breaks softmax bit-exactness)
+    interleave2 the batch tile split into two halves with the stage chain
+                emitted staggered (half A one stage ahead): every half-A VPU
+                stage sits next to an independent half-B MXU stage, probing
+                whether Mosaic's scheduler overlaps them (the remaining
+                ~4-5 ms of the kernel is dependency stalls). NEGATIVE
+                result: bit-exact vs batch_softmax but a dead tie in two
+                fresh interleaved A/B sessions (min 15.97 vs 15.87 ms, then
+                17.75 vs 17.72) — Mosaic schedules by dataflow, not emission
+                order, so the stalls are not reachable by reordering ops
+                within one grid step.
 
 Run: python scripts/megablock_ablate.py [batch] [block_b] [variant...]
 """
@@ -92,6 +102,130 @@ def _variant_kernel(
     zp_g = qs_ref[0, 9]
     inv_sn = qs_ref[0, 10]
     zp_n = qs_ref[0, 11]
+
+    if variant == "interleave2":
+        # Two half-tiles, stage chain emitted staggered (half A one stage
+        # ahead), so each VPU stage of one half is adjacent to an independent
+        # MXU stage of the other. Numerics = the production batched-softmax
+        # kernel per half (all ops row-independent -> bit-exact to `full`).
+        assert block_b % 2 == 0, "interleave2 needs an even block_b"
+        hb = block_b // 2
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
+        key_mask = col < N_VALID
+        group = max(1, _LANE // head_dim)
+        gw = group * head_dim
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, gw), dimension=1)
+        neg = jnp.float32(-1e30)
+        zq_all = zq_ref[:]
+        x_all = x_ref[:]
+
+        def hmask_of(width, hh):
+            return (lane[:, :width] >= hh * head_dim) & (
+                lane[:, :width] < (hh + 1) * head_dim
+            )
+
+        def tile_meta():
+            for b in range(hb):
+                for g0 in range(0, num_heads, group):
+                    base = g0 * head_dim
+                    width = min(gw, d - base)
+                    for hh in range(min(group, num_heads - g0)):
+                        yield b, base, width, hh
+
+        def st_qkv(st):
+            zq2d = zq_all[st["sl"]].reshape(hb * n_pad, d)
+            acc = jnp.dot(zq2d, wqkv_ref[:], preferred_element_type=jnp.int32)
+            q = _dequant(acc, cs_qkv_ref, ws_qkv_ref, b_qkv_ref, s1, z1 - 128)
+            st["qkv"] = q.reshape(hb, n_pad, 3 * d).astype(jnp.bfloat16)
+
+        def st_scores(st):
+            qkv = st["qkv"]
+            tiles = []
+            for b, base, width, hh in tile_meta():
+                q_slab = qkv[b, :, base : base + width]
+                q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
+                k_slab = qkv[b, :, d + base : d + base + width]
+                k_h = jnp.where(hmask_of(width, hh), k_slab,
+                                jnp.zeros_like(k_slab))
+                s = jax.lax.dot_general(
+                    q_slab, k_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                tiles.append(jnp.where(key_mask, s, neg))
+            st["scores"] = jnp.concatenate(tiles, axis=0)
+
+        def st_softmax(st):
+            stacked = st.pop("scores")
+            m = jnp.max(stacked, axis=-1, keepdims=True)
+            e = jnp.exp(stacked - m)
+            st["p"] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+                jnp.bfloat16
+            )
+
+        def st_value(st):
+            qkv, p_all = st["qkv"], st.pop("p")
+            acc_by = {}
+            for idx, (b, base, width, hh) in enumerate(tile_meta()):
+                p = p_all[idx * n_pad : (idx + 1) * n_pad, :]
+                v_slab = qkv[b, :, 2 * d + base : 2 * d + base + width]
+                v_h = jnp.where(hmask_of(width, hh), v_slab,
+                                jnp.zeros_like(v_slab))
+                o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+                key = (b, base)
+                acc_by[key] = o if key not in acc_by else acc_by[key] + o
+            rows = [
+                jnp.concatenate(
+                    [acc_by[(b, base)]
+                     for base in sorted({k[1] for k in acc_by if k[0] == b})],
+                    axis=-1,
+                )
+                for b in range(hb)
+            ]
+            st["o_q"] = _q8(
+                jnp.stack(rows).reshape(hb * n_pad, d), inv_so, zp_o
+            )
+
+        def st_proj(st):
+            acc = jnp.dot(st.pop("o_q"), wproj_ref[:],
+                          preferred_element_type=jnp.int32)
+            p_out = _dequant(acc, cs_proj_ref, ws_proj_ref, b_proj_ref, s_o,
+                             z_o - 128)
+            x_mid = (
+                x_all[st["sl"]].reshape(hb * n_pad, d).astype(jnp.float32)
+                + p_out
+            )
+            st["x_mid"] = x_mid
+            st["zq2"] = _q8(_ln(x_mid, g2_ref, b2_ref, EPS), inv_s2, zp_2)
+
+        def st_fc1(st):
+            acc = jnp.dot(st.pop("zq2"), wfc1_ref[:],
+                          preferred_element_type=jnp.int32)
+            f1 = _dequant(acc, cs_fc1_ref, ws_fc1_ref, b_fc1_ref, 1.0 / inv_s2,
+                          zp_2.astype(jnp.int32) - 128)
+            st["g_q"] = _q8(jax.nn.gelu(f1, approximate=True), inv_sg, zp_g)
+
+        def st_fc2(st):
+            acc = jnp.dot(st.pop("g_q"), wfc2_ref[:],
+                          preferred_element_type=jnp.int32)
+            f2 = _dequant(acc, cs_fc2_ref, ws_fc2_ref, b_fc2_ref, 1.0 / inv_sg,
+                          zp_g.astype(jnp.int32) - 128)
+            x_out = st.pop("x_mid") + f2
+            xout_ref[st["sl"]] = x_out.reshape(hb, n_pad, d).astype(
+                xout_ref.dtype
+            )
+            zqout_ref[st["sl"]] = _q8(
+                _ln(x_out, gn_ref, bn_ref, EPS), inv_sn, zp_n
+            ).reshape(hb, n_pad, d)
+
+        stages = [st_qkv, st_scores, st_softmax, st_value, st_proj, st_fc1,
+                  st_fc2]
+        halves = [{"sl": slice(0, hb)}, {"sl": slice(hb, block_b)}]
+        for i in range(len(stages)):
+            stages[i](halves[0])
+            if i >= 1:
+                stages[i - 1](halves[1])
+        stages[-1](halves[1])
+        return
 
     zq2d = zq_ref[:].reshape(block_b * n_pad, d)
     acc = jnp.dot(zq2d, wqkv_ref[:], preferred_element_type=jnp.int32)
@@ -342,7 +476,7 @@ def main():
 
     variants = ["full", "no_attn", "no_softmax", "no_mlp", "no_gelu",
                 "no_ln", "ln_bf16", "gemm_only", "empty", "batch_softmax",
-                "batch_nosm", "exp_bf16", "post_div"]
+                "batch_nosm", "exp_bf16", "post_div", "interleave2"]
     repeats = int(os.environ.get("QVT_REPEATS", "1"))
     chains = {}
     for variant in variants:

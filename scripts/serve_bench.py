@@ -117,18 +117,19 @@ def main():
         student = create_model(model_name, qat_wrapper=True)
     else:
         student = create_student("vit")
+    size = student.cfg.image_size  # 224 ViT-S/B; 768 owlv2_student_pruned
     variables = nn.meta.unbox(
         student.module.init(jax.random.key(0), student.example_input(1),
                             observe=False))
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.normal(size=(8, 224, 224, 3)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(8, size, size, 3)).astype(np.float32))
     _, mut = student.module.apply(
         {"params": variables["params"], "quant_stats": variables["quant_stats"]},
         x0, observe=True, mutable=["quant_stats"],
     )
     qp = convert_vit(variables["params"], mut["quant_stats"], student.cfg)
     imgs = rng.integers(0, 256, (batch, 32, 32, 3), dtype=np.uint8)
-    x = preprocess(jnp.asarray(imgs), size=224)
+    x = preprocess(jnp.asarray(imgs), size=size)
     cfg = student.cfg
     oh = _overhead()
 
@@ -141,7 +142,13 @@ def main():
                 return acc + apply_fn(qp, x + jnp.float32(i) * 1e-9).sum()
             return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
-        dt = _time_scalar(lambda: run_n(qp, x)) - oh
+        try:
+            dt = _time_scalar(lambda: run_n(qp, x)) - oh
+        except Exception as e:  # geometry-gated variant (quick-GELU models
+            # reject the tanh-GELU kernels; long sequences overflow the
+            # batched-softmax VMEM budget) — report and keep benching
+            print(f"{name:28s} skipped: {str(e).splitlines()[0][:80]}")
+            return
         ips = batch * ITERS / dt
         print(f"{name:28s} {dt / ITERS * 1e3:8.2f} ms/fwd  {ips:9.0f} img/s")
 
@@ -197,7 +204,9 @@ def main():
         from qat_vit_tpu.ops.block_kernel import block_forward
 
         b = x.shape[0]
-        xr = (jnp.zeros((b, 224, cfg.embed_dim), jnp.bfloat16)
+        n_valid = cfg.seq_len
+        n_pad = -(-n_valid // 32) * 32
+        xr = (jnp.zeros((b, n_pad, cfg.embed_dim), jnp.bfloat16)
               + x[:, 0, 0, 0][:, None, None].astype(jnp.bfloat16))
         zq = jnp.broadcast_to(
             (xr[..., :1] * 0 + 3).astype(jnp.int8), xr.shape
@@ -209,7 +218,7 @@ def main():
             xr, zq = block_forward(
                 zq, xr, blk, nxt, num_heads=cfg.num_heads,
                 head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
-                n_valid=197, block_b=4)
+                n_valid=n_valid, block_b=4)
         return xr[:, 0]
 
     bench("mega_blocks_only", blocks_only)

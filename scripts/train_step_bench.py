@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import optax
 
-BATCH = 256
+BATCH = int(os.environ.get("QVT_BATCH", "256"))
 STEPS = 20
 REPEATS = 3
 
@@ -75,7 +75,16 @@ def main():
           f"dispatch_overhead={oh * 1e3:.1f}ms")
 
     def build(dtype, quant=True, fast=None):
-        student = create_student("vit")
+        # QVT_MODEL selects the geometry (default ViT-S student; e.g.
+        # QVT_MODEL=vit_base_patch16_224_teacher measures the QAT step on
+        # ViT-B — the training kernels are geometry-generic)
+        model_name = os.environ.get("QVT_MODEL", "")
+        if model_name:
+            from qat_vit_tpu.models import create_model
+
+            student = create_model(model_name, qat_wrapper=True)
+        else:
+            student = create_student("vit")
         fast = (dtype == jnp.bfloat16) if fast is None else fast
         cfg = dataclasses.replace(student.cfg, dtype=dtype, fast_math=fast)
         if not quant:  # the float-phase module (no fake-quant sites)
