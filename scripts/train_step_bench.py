@@ -118,28 +118,31 @@ def main():
                 observe=True, mutable=["quant_stats"])
             qs0 = mut["quant_stats"]
 
-        def one(carry, i):
-            x = carry_x if pre_extracted else prep(images)
-            variables = {"params": params}
-            if qat:
-                variables["quant_stats"] = qs0
-            if qat and observe:
-                logits, _ = bundle.module.apply(
-                    variables, x, observe=True, mutable=["quant_stats"])
-            else:
-                logits = bundle.module.apply(variables, x, observe=False)
-            loss, _ = kd_loss(logits, t_logits, labels, alpha=0.5,
-                              temperature=4.0, label_smoothing=0.1)
-            return carry + loss, None
-
         carry_x = prep(images) if pre_extracted else None
 
+        # params/stats as ARGUMENTS, not closures: closed-over pytrees are
+        # serialized into the remote-compile request, and ViT-B's 86M params
+        # blow the tunnel's request-size cap (HTTP 413; CLAUDE.md)
         @jax.jit
-        def run():
+        def run(params, qs0, carry_x):
+            def one(carry, i):
+                x = carry_x if pre_extracted else prep(images)
+                variables = {"params": params}
+                if qat:
+                    variables["quant_stats"] = qs0
+                if qat and observe:
+                    logits, _ = bundle.module.apply(
+                        variables, x, observe=True, mutable=["quant_stats"])
+                else:
+                    logits = bundle.module.apply(variables, x, observe=False)
+                loss, _ = kd_loss(logits, t_logits, labels, alpha=0.5,
+                                  temperature=4.0, label_smoothing=0.1)
+                return carry + loss, None
+
             out, _ = jax.lax.scan(one, jnp.zeros(()), jnp.arange(STEPS))
             return out
 
-        return lambda: run()
+        return lambda: run(params, qs0, carry_x)
 
     def full_step(bundle, qat, pre_extracted=False, observe=True):
         tx = make_optimizer(1.5e-4, 1e-3)
@@ -154,40 +157,45 @@ def main():
         )
         carry_x = prep(images) if pre_extracted else None
 
-        def one(st, i):
-            x = carry_x if pre_extracted else prep(images)
-
-            def loss_fn(params):
-                variables = {"params": params}
-                if qat and observe:
-                    variables["quant_stats"] = st.quant_stats
-                    logits, mut = bundle.module.apply(
-                        variables, x, observe=True, mutable=["quant_stats"])
-                    new_qs = mut["quant_stats"]
-                elif qat:
-                    # observer-free QAT step: fake-quant from frozen stats —
-                    # the per-step shape of an observer_interval skip step
-                    variables["quant_stats"] = st.quant_stats
-                    logits = bundle.module.apply(variables, x, observe=False)
-                    new_qs = st.quant_stats
-                else:
-                    logits = bundle.module.apply(variables, x, observe=False)
-                    new_qs = st.quant_stats
-                loss, _ = kd_loss(logits, t_logits, labels, alpha=0.5,
-                                  temperature=4.0, label_smoothing=0.1)
-                return loss, new_qs
-
-            grads, new_qs = jax.grad(loss_fn, has_aux=True)(st.params)
-            updates, new_opt = tx.update(grads, st.opt_state, st.params)
-            return TrainState(optax.apply_updates(st.params, updates),
-                              new_opt, new_qs, st.step + 1), None
-
+        # state/carry_x as jit ARGUMENTS (closure pytrees go into the
+        # remote-compile request; ViT-B blows the cap — see fwd_only)
         @jax.jit
-        def run():
+        def run(state, carry_x):
+            def one(st, i):
+                x = carry_x if pre_extracted else prep(images)
+
+                def loss_fn(params):
+                    variables = {"params": params}
+                    if qat and observe:
+                        variables["quant_stats"] = st.quant_stats
+                        logits, mut = bundle.module.apply(
+                            variables, x, observe=True,
+                            mutable=["quant_stats"])
+                        new_qs = mut["quant_stats"]
+                    elif qat:
+                        # observer-free QAT step: fake-quant from frozen
+                        # stats — the shape of an observer_interval skip step
+                        variables["quant_stats"] = st.quant_stats
+                        logits = bundle.module.apply(variables, x,
+                                                     observe=False)
+                        new_qs = st.quant_stats
+                    else:
+                        logits = bundle.module.apply(variables, x,
+                                                     observe=False)
+                        new_qs = st.quant_stats
+                    loss, _ = kd_loss(logits, t_logits, labels, alpha=0.5,
+                                      temperature=4.0, label_smoothing=0.1)
+                    return loss, new_qs
+
+                grads, new_qs = jax.grad(loss_fn, has_aux=True)(st.params)
+                updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                return TrainState(optax.apply_updates(st.params, updates),
+                                  new_opt, new_qs, st.step + 1), None
+
             final, _ = jax.lax.scan(one, state, jnp.arange(STEPS))
             return jax.tree.leaves(final.params)[0].sum()
 
-        return lambda: run()
+        return lambda: run(state, carry_x)
 
     def mm_proxy():
         """Matmul-only proxy of the ViT-S forward: the XLA-achievable floor
@@ -239,36 +247,38 @@ def main():
             step=jnp.zeros((), jnp.int32),
         )
 
-        def one(st, i):
-            x = prep(images)
-
-            @jax.checkpoint
-            def fwd_loss(params, x):
-                variables = {"params": params}
-                if qat:
-                    variables["quant_stats"] = st.quant_stats
-                    logits, mut = bundle.module.apply(
-                        variables, x, observe=True, mutable=["quant_stats"])
-                    new_qs = mut["quant_stats"]
-                else:
-                    logits = bundle.module.apply(variables, x, observe=False)
-                    new_qs = st.quant_stats
-                loss, _ = kd_loss(logits, t_logits, labels, alpha=0.5,
-                                  temperature=4.0, label_smoothing=0.1)
-                return loss, new_qs
-
-            grads, new_qs = jax.grad(
-                lambda p: fwd_loss(p, x), has_aux=True)(st.params)
-            updates, new_opt = tx.update(grads, st.opt_state, st.params)
-            return TrainState(optax.apply_updates(st.params, updates),
-                              new_opt, new_qs, st.step + 1), None
-
         @jax.jit
-        def run():
+        def run(state):
+            def one(st, i):
+                x = prep(images)
+
+                @jax.checkpoint
+                def fwd_loss(params, x):
+                    variables = {"params": params}
+                    if qat:
+                        variables["quant_stats"] = st.quant_stats
+                        logits, mut = bundle.module.apply(
+                            variables, x, observe=True,
+                            mutable=["quant_stats"])
+                        new_qs = mut["quant_stats"]
+                    else:
+                        logits = bundle.module.apply(variables, x,
+                                                     observe=False)
+                        new_qs = st.quant_stats
+                    loss, _ = kd_loss(logits, t_logits, labels, alpha=0.5,
+                                      temperature=4.0, label_smoothing=0.1)
+                    return loss, new_qs
+
+                grads, new_qs = jax.grad(
+                    lambda p: fwd_loss(p, x), has_aux=True)(st.params)
+                updates, new_opt = tx.update(grads, st.opt_state, st.params)
+                return TrainState(optax.apply_updates(st.params, updates),
+                                  new_opt, new_qs, st.step + 1), None
+
             final, _ = jax.lax.scan(one, state, jnp.arange(STEPS))
             return jax.tree.leaves(final.params)[0].sum()
 
-        return lambda: run()
+        return lambda: run(state)
 
     bf16f = build(jnp.bfloat16, quant=False)
     bf16 = build(jnp.bfloat16)
@@ -425,11 +435,11 @@ def main():
             ), None
 
         @jax.jit
-        def run():
+        def run(state0):
             final, _ = jax.lax.scan(one, state0, jnp.arange(STEPS))
             return jax.tree.leaves(final.params)[0].sum()
 
-        return lambda: run()
+        return lambda: run(state0)
 
     bench("qat_step_obs4_cond", lambda: full_step_obs_cond(bf16, 4))
     bench("qat_step_obs8_dispatch", lambda: full_step_dispatch(bf16, 8))
