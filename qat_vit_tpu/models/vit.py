@@ -281,6 +281,10 @@ class Attention(nn.Module):
             attention_train,
             attention_train_available,
         )
+        from qat_vit_tpu.ops.long_attention import (
+            long_attention_train,
+            long_attention_train_available,
+        )
 
         if (
             cfg.fast_math
@@ -291,6 +295,16 @@ class Attention(nn.Module):
             # tensor never exists in HBM in either direction (the dominant
             # activation traffic of the train step — train_step_bench.py)
             out = attention_train(qkv_packed, h, hd)
+        elif (
+            cfg.fast_math
+            and cfg.attn_kernel
+            and long_attention_train_available(h, hd, seq_len=N)
+        ):
+            # geometries past the slab kernel's gates (long sequences,
+            # non-lane-aligned widths — OWLv2 hits both): the q-tiled
+            # long-sequence pair; XLA would store [B,H,N,N] probabilities
+            # for the backward (~850 MB at OWLv2-pruned batch 8)
+            out = long_attention_train(qkv_packed, h, hd)
         else:
             qkv = qkv_packed.reshape(B, N, 3, h, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, hd]

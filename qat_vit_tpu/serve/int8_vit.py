@@ -199,6 +199,12 @@ def int8_apply(
             return fused_attention_qkv(
                 qkv.astype(attn_dtype), h_heads, hd
             ).astype(cdt)
+        if attn_impl == "pallas_long":
+            from qat_vit_tpu.ops.long_attention import long_attention_qkv
+
+            return long_attention_qkv(
+                qkv.astype(attn_dtype), h_heads, hd
+            ).astype(cdt)
         if attn_impl == "pallas":
             return flash_attention_qkv(
                 qkv.astype(attn_dtype), h_heads, hd
@@ -340,7 +346,13 @@ def _fused_blocks(
                 out_q=blk["qkv"]["out_q"],
             )
         else:
-            if attn_impl == "pallas":
+            if attn_impl == "pallas_long":
+                from qat_vit_tpu.ops.long_attention import long_attention_qkv
+
+                o = long_attention_qkv(
+                    qkv.astype(attn_dtype), h_heads, hd
+                ).astype(cdt)
+            elif attn_impl == "pallas":
                 o = flash_attention_qkv(
                     qkv.astype(attn_dtype), h_heads, hd
                 ).astype(cdt)
@@ -520,6 +532,15 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
         # the exact trained activation there); the Pallas GEMM epilogues bake
         # in tanh-GELU, so they are gelu-only
         return {"fused": "mixed_none", "attn_impl": "pallas_fused"}
+    from qat_vit_tpu.ops.long_attention import long_attention_shapes_ok
+
+    if long_attention_shapes_ok(cfg.num_heads, cfg.head_dim):
+        # geometries past the slab kernels' gates (long sequences whose
+        # stacked scores overflow VMEM, non-lane-aligned widths — OWLv2's
+        # 2305 tokens x 9 heads hits both): the q-tiled long-sequence kernel
+        # keeps scores out of HBM, which the seam ablation measured at ~50%
+        # of the XLA forward there (ops/long_attention.py)
+        return {"fused": "mixed_none", "attn_impl": "pallas_long"}
     return {}
 
 

@@ -29,7 +29,11 @@ from qat_vit_tpu.utils.benchmarking import (
 from qat_vit_tpu.ops import flash_attention as fa
 
 ITERS = 50
-N, H, HD = 197, 6, 64
+# geometry via env (defaults: ViT-S serving shape); e.g. the OWLv2-pruned
+# long-sequence shape is QVT_N=2305 QVT_H=9 QVT_HD=64
+N = int(os.environ.get("QVT_N", 197))
+H = int(os.environ.get("QVT_H", 6))
+HD = int(os.environ.get("QVT_HD", 64))
 
 
 
@@ -58,13 +62,40 @@ def main():
         dt = (_time_scalar(lambda: run_n(qkv)) - oh) / ITERS
         print(f"{name:32s} {dt * 1e3:8.3f} ms   max_err={err:.4f}")
 
-    bench("xla_einsum_bf16sm", lambda q: fa.xla_attention_qkv(q, H, HD, softmax_dtype=jnp.bfloat16))
-    bench("pallas_packed (old)", lambda q: fa.flash_attention_qkv(q, H, HD))
-    for bb in (1, 2, 4, 8):  # 16 exceeds the ~16MB VMEM budget (measured)
-        bench(f"pallas_v3 bb={bb}", lambda q, b=bb: fa.fused_attention_qkv(q, H, HD, block_b=b))
-    oq = {"scale": jnp.float32(0.01), "zero_point": jnp.float32(128.0)}
-    bench("pallas_v3 bb=4 +quant", lambda q: fa.fused_attention_qkv(
-        q, H, HD, block_b=4, out_q=oq).astype(jnp.bfloat16))
+    only = set(sys.argv[2:])
+
+    def sel(name):
+        return not only or name in only
+
+    from qat_vit_tpu.ops import _tiling as tiling
+    from qat_vit_tpu.ops.long_attention import (
+        long_attention_qkv,
+        long_attention_shapes_ok,
+    )
+
+    n_lane = -(-N // 128) * 128
+    slab_ok = tiling.shapes_ok(H, HD) and tiling.batched_softmax_fits(H, n_lane)
+    if sel("xla_einsum_bf16sm"):
+        bench("xla_einsum_bf16sm", lambda q: fa.xla_attention_qkv(
+            q, H, HD, softmax_dtype=jnp.bfloat16))
+    if slab_ok:
+        if sel("pallas_packed (old)"):
+            bench("pallas_packed (old)",
+                  lambda q: fa.flash_attention_qkv(q, H, HD))
+        for bb in (1, 2, 4, 8):  # 16 exceeds the ~16MB VMEM budget (measured)
+            if sel(f"pallas_v3 bb={bb}"):
+                bench(f"pallas_v3 bb={bb}",
+                      lambda q, b=bb: fa.fused_attention_qkv(q, H, HD,
+                                                             block_b=b))
+        oq = {"scale": jnp.float32(0.01), "zero_point": jnp.float32(128.0)}
+        if sel("pallas_v3 bb=4 +quant"):
+            bench("pallas_v3 bb=4 +quant", lambda q: fa.fused_attention_qkv(
+                q, H, HD, block_b=4, out_q=oq).astype(jnp.bfloat16))
+    if long_attention_shapes_ok(H, HD):
+        for tq in (128, 256, 512, 1024):
+            if sel(f"pallas_long tq={tq}"):
+                bench(f"pallas_long tq={tq}",
+                      lambda q, t=tq: long_attention_qkv(q, H, HD, q_tile=t))
 
 
 if __name__ == "__main__":

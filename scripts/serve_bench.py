@@ -185,6 +185,16 @@ def main():
     bench("mixed_none+pallas_attn", lambda qp, x: int8_apply(
         qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
         fused="mixed_none", attn_impl="pallas_fused"))
+    bench("full_pallas_long", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        attn_impl="pallas_long"))
+    bench("mixed_none+pallas_long", lambda qp, x: int8_apply(
+        qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+        fused="mixed_none", attn_impl="pallas_long"))
+    from qat_vit_tpu.serve.int8_vit import serving_preset
+
+    bench("preset", lambda qp, x: int8_apply(
+        qp, x, cfg, **serving_preset(cfg)))
     bench("megablock", lambda qp, x: int8_apply(
         qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
         fused="megablock"))

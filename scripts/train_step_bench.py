@@ -91,7 +91,15 @@ def main():
             cfg = dataclasses.replace(cfg, quant=None, qat_wrapper=False)
         return ModelBundle(student.name, VisionTransformer(cfg), cfg)
 
-    prep = preprocess_fn(224)
+    # image size follows the selected model's geometry (768 for OWLv2)
+    _env_model = os.environ.get("QVT_MODEL", "")
+    if _env_model:
+        from qat_vit_tpu.models import create_model as _create_model
+
+        _img_size = _create_model(_env_model, qat_wrapper=True).cfg.image_size
+    else:
+        _img_size = create_student("vit").cfg.image_size
+    prep = preprocess_fn(_img_size)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 256, (BATCH, 32, 32, 3), dtype=np.uint8))

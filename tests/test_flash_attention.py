@@ -44,6 +44,38 @@ class TestAttention:
         ref = _reference_attention(qkv, h, hd)
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize(
+        "h,hd,n",
+        [
+            (2, 32, 197),  # short sequence, lane-aligned width
+            (3, 32, 260),  # odd head count, width 96 (slab kernels reject)
+            (9, 16, 300),  # OWLv2-pruned head-count shape, >1 q-tile
+        ],
+    )
+    def test_long_kernel_matches_reference(self, h, hd, n):
+        """q-tiled long-sequence kernel (interpret) vs reference."""
+        from qat_vit_tpu.ops.long_attention import (
+            long_attention_qkv,
+            long_attention_shapes_ok,
+        )
+
+        assert long_attention_shapes_ok(h, hd)
+        rng = np.random.default_rng(3)
+        qkv = jnp.asarray(rng.normal(size=(2, n, 3 * h * hd)).astype(np.float32))
+        out = np.asarray(
+            long_attention_qkv(qkv, h, hd, q_tile=128, interpret=True)
+        )
+        ref = _reference_attention(qkv, h, hd)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    def test_long_kernel_shape_gate(self):
+        from qat_vit_tpu.ops.long_attention import long_attention_shapes_ok
+
+        assert long_attention_shapes_ok(9, 64)  # OWLv2-pruned
+        assert long_attention_shapes_ok(12, 64)  # OWLv2-base / ViT-B
+        assert not long_attention_shapes_ok(2, 256)  # head dim > one register
+        assert not long_attention_shapes_ok(4, 20)  # ragged minor dim
+
     def test_xla_form_differentiable(self):
         h, hd = 2, 16
         rng = np.random.default_rng(2)

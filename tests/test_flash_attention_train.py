@@ -61,3 +61,60 @@ class TestAttentionTrain:
         ker = np.asarray(g_ker, np.float32)
         denom = np.abs(ref).max()
         assert np.abs(ker - ref).max() / denom < 0.05
+
+
+class TestLongAttentionTrain:
+    """The q-tiled long-sequence training pair (ops/long_attention.py) vs
+    XLA autodiff — OWLv2-like geometry (odd head count, >1 q-stripe so the
+    sequential dk/dv accumulation is exercised)."""
+
+    LB, LN, LH, LHD = 2, 300, 3, 32
+
+    @pytest.fixture(scope="class")
+    def long_case(self):
+        rng = np.random.default_rng(7)
+        qkv = jnp.asarray(
+            rng.normal(size=(self.LB, self.LN, 3 * self.LH * self.LHD))
+            .astype(np.float32) * 0.3
+        )
+        do = jnp.asarray(
+            rng.normal(size=(self.LB, self.LN, self.LH * self.LHD))
+            .astype(np.float32)
+        )
+        return qkv, do
+
+    def test_forward_matches_xla(self, long_case):
+        from qat_vit_tpu.ops.long_attention import long_attention_train
+
+        qkv, _ = long_case
+        ref = xla_attention_qkv(qkv, self.LH, self.LHD)
+        out = long_attention_train(qkv, self.LH, self.LHD, 128, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_xla_autodiff(self, long_case):
+        from qat_vit_tpu.ops.long_attention import long_attention_train
+
+        qkv, do = long_case
+
+        def ref_loss(qkv):
+            return (xla_attention_qkv(qkv, self.LH, self.LHD) * do).sum()
+
+        def ker_loss(qkv):
+            return (long_attention_train(
+                qkv, self.LH, self.LHD, 128, True) * do).sum()
+
+        g_ref = jax.grad(ref_loss)(qkv)
+        g_ker = jax.grad(ker_loss)(qkv)
+        np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_availability_gate(self):
+        from qat_vit_tpu.ops.long_attention import (
+            long_attention_train_available,
+        )
+
+        # CPU backend in tests -> never available (kernels are TPU-only)
+        assert not long_attention_train_available(9, 64, seq_len=2305)
+        # the stripe budget rejects very long sequences even on TPU
+        assert not long_attention_train_available(9, 64, seq_len=9000)

@@ -281,18 +281,26 @@ class TestServingModeSelection:
         aligned_qg = ViTConfig(embed_dim=768, num_heads=12, act="quick_gelu")
         opts = _preset_kernel_opts(aligned_qg)
         assert opts == {"fused": "mixed_none", "attn_impl": "pallas_fused"}
-        # ViT-Ti geometry: d=192 is lane-misaligned -> plain XLA path
+        # ViT-Ti geometry: d=192 is lane-misaligned — the slab kernels are
+        # out, but the head-separated long-sequence kernel is not
+        long_rung = {"fused": "mixed_none", "attn_impl": "pallas_long"}
         misaligned = ViTConfig(embed_dim=192, num_heads=3)
-        assert _preset_kernel_opts(misaligned) == {}
+        assert _preset_kernel_opts(misaligned) == long_rung
         # OWLv2-base geometry: lane-aligned heads but 2305-token sequences —
         # the batched-softmax scheme's stacked score tiles (~1 GB) cannot
-        # live in VMEM; the preset must fall back to the XLA forms
-        # (regression: the gate only checked head geometry)
+        # live in VMEM; the q-tiled long-sequence kernel takes over
+        # (regression 1: the gate only checked head geometry; regression 2:
+        # the pre-long-kernel fallback was the plain XLA path, which
+        # materializes ~850 MB of scores per batch-8 forward)
         long_seq = ViTConfig(embed_dim=768, num_heads=12, image_size=768,
                              act="quick_gelu", pre_norm=True)
-        assert _preset_kernel_opts(long_seq) == {}
+        assert _preset_kernel_opts(long_seq) == long_rung
         long_seq_gelu = ViTConfig(embed_dim=768, num_heads=12, image_size=768)
-        assert _preset_kernel_opts(long_seq_gelu) == {}
+        assert _preset_kernel_opts(long_seq_gelu) == long_rung
+        # a geometry past every kernel's gates: head_dim > one register
+        assert _preset_kernel_opts(
+            ViTConfig(embed_dim=512, num_heads=2)
+        ) == {}
 
     def test_attention_train_seq_len_gate(self):
         from qat_vit_tpu.ops.flash_attention_train import (
