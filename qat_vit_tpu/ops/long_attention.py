@@ -27,9 +27,15 @@ The long-sequence regime inverts the short-sequence design constraints:
 - hd < 128 leaves lanes idle on the score dot (K=hd contraction). Immaterial:
   the kernel replaces HBM traffic, not MXU work.
 
-Forward-only (serving); training keeps XLA attention for its VJP. Numerics
-match the slab kernels' profile: scores accumulate f32 on the MXU, softmax in
-f32, probabilities cast to the value dtype for the value contraction.
+Two entry points: :func:`long_attention_qkv` (serving forward) and
+:func:`long_attention_train` (custom-VJP pair for the bf16 training phases —
+the backward recomputes score stripes in VMEM instead of storing [B,H,N,N]
+probabilities for XLA autodiff, ~850 MB/step at OWLv2-pruned batch 8).
+Numerics match the slab kernels' profile: scores accumulate f32 on the MXU,
+softmax in f32, probabilities cast to the value dtype for the value
+contraction. Measured (one v5e, OWLv2-pruned, batch 8): serving forward
+40.95 -> 32.44 ms vs the XLA path; QAT train step 185.3 -> 126.1 ms
+(docs/BENCHMARKS.md).
 """
 
 from __future__ import annotations

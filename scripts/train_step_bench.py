@@ -74,7 +74,7 @@ def main():
     print(f"backend={jax.default_backend()} batch={BATCH} steps={STEPS} "
           f"dispatch_overhead={oh * 1e3:.1f}ms")
 
-    def build(dtype, quant=True, fast=None):
+    def build(dtype, quant=True, fast=None, attn_kernel=True):
         # QVT_MODEL selects the geometry (default ViT-S student; e.g.
         # QVT_MODEL=vit_base_patch16_224_teacher measures the QAT step on
         # ViT-B — the training kernels are geometry-generic)
@@ -86,7 +86,8 @@ def main():
         else:
             student = create_student("vit")
         fast = (dtype == jnp.bfloat16) if fast is None else fast
-        cfg = dataclasses.replace(student.cfg, dtype=dtype, fast_math=fast)
+        cfg = dataclasses.replace(student.cfg, dtype=dtype, fast_math=fast,
+                                  attn_kernel=attn_kernel)
         if not quant:  # the float-phase module (no fake-quant sites)
             cfg = dataclasses.replace(cfg, quant=None, qat_wrapper=False)
         return ModelBundle(student.name, VisionTransformer(cfg), cfg)
@@ -296,6 +297,10 @@ def main():
     bench("float_step_remat", lambda: full_step_remat(bf16f, qat=False))
     bench("qat_step_remat", lambda: full_step_remat(bf16, qat=True))
     bench("qat_step_slowmath", lambda: full_step(bf16_slow, qat=True))
+    # same numerics-mode config with the Pallas attention pair disabled —
+    # isolates the training attention kernel's step-level effect
+    bf16_noak = build(jnp.bfloat16, attn_kernel=False)
+    bench("qat_step_xla_attn", lambda: full_step(bf16_noak, qat=True))
 
     def qat_step_inline_fq():
         """TIMING PROBE (wrong grads): fake_quantize without the custom_vjp
