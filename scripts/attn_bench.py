@@ -47,7 +47,15 @@ def main():
         jnp.bfloat16)
     oh = _overhead()
 
-    ref = np.asarray(fa.xla_attention_qkv(qkv, H, HD).astype(jnp.float32))
+    # reference in batch chunks: the one-shot XLA einsum materializes
+    # [B, H, N_pad, N_pad] f32 scores (6.8 GB at batch 32 x 2305 tokens —
+    # HBM OOM); the kernels under test don't, so chunk only the reference
+    chunk = max(1, min(batch, int(4e9 / max(1, 4 * H * N * N))))
+    ref = np.concatenate([
+        np.asarray(fa.xla_attention_qkv(qkv[i:i + chunk], H, HD)
+                   .astype(jnp.float32))
+        for i in range(0, batch, chunk)
+    ])
 
     def bench(name, fn):
         out = np.asarray(fn(qkv).astype(jnp.float32))
