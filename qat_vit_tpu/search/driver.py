@@ -148,8 +148,14 @@ def run_optuna_search(
                 if epoch >= int(hp["qat_start_epoch"]):
                     trainer.enable_qat()  # ref :179-189
                 tm = trainer.train_epoch(epoch, limit_batches=cfg.limit_train_batches)
-                if state["teacher_logits"] is None:
-                    state["teacher_logits"] = trainer._teacher_logits
+                if state["teacher_logits"] is None and (
+                    trainer._teacher_logits is not None
+                ):
+                    # share the (logits, valid-mask) pair BY REFERENCE: with
+                    # lazy filling (limited-batch trials) rows cached in one
+                    # trial serve every later trial
+                    state["teacher_logits"] = (
+                        trainer._teacher_logits, trainer._teacher_mask)
                 acc = trainer.evaluate(limit_batches=cfg.limit_eval_batches)
                 best_acc = max(best_acc, acc)
                 run.log_metrics(

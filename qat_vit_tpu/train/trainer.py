@@ -277,8 +277,19 @@ class KDQATTrainer:
         )
         self._qat_py_step = 0  # QAT steps taken (host-side, for the interval)
         # shareable across search trials: the teacher (and so its logits)
-        # is identical for every trial (ref optuna_search.py:118-120)
-        self._teacher_logits: Optional[np.ndarray] = teacher_logits
+        # is identical for every trial (ref optuna_search.py:118-120).
+        # Accepts a bare [N, C] array (fully precomputed) or a
+        # (logits, valid_mask) pair from a lazily-filled cache — the arrays
+        # are shared by reference, so fills in one trial serve all trials.
+        self._teacher_logits: Optional[np.ndarray] = None
+        self._teacher_mask: Optional[np.ndarray] = None
+        if teacher_logits is not None:
+            if isinstance(teacher_logits, tuple):
+                self._teacher_logits, self._teacher_mask = teacher_logits
+            else:
+                self._teacher_logits = teacher_logits
+                self._teacher_mask = np.ones(len(teacher_logits), bool)
+        self._teacher_fwd = None  # jitted prep+teacher forward (lazy fills)
 
         # ---- data (reference :210-254) ----
         if data is None:
@@ -342,25 +353,46 @@ class KDQATTrainer:
         logger.info("QAT enabled (lr -> %.3g)", lr)
 
     # ------------------------------------------------------------------
-    def _ensure_teacher_logits(self) -> None:
+    def _get_teacher_fwd(self):
+        """Jitted prep+teacher forward used to (pre)fill the logit cache."""
+        if self._teacher_fwd is None:
+            from qat_vit_tpu.data.pipeline import preprocess_fn
+
+            prep = preprocess_fn(self.image_size)
+            apply = self._teacher_apply
+
+            @jax.jit
+            def fwd(p, imgs):
+                return apply(p, prep(imgs)).astype(jnp.float32)
+
+            self._teacher_fwd = fwd
+        return self._teacher_fwd
+
+    def _ensure_teacher_logits(self, lazy: bool = False) -> None:
         """Precompute the frozen teacher's logits over the train set once.
 
         Mathematically identical to per-step teacher forwards (teacher frozen,
-        no augmentation); removes the ViT-B forward from the hot loop."""
+        no augmentation); removes the ViT-B forward from the hot loop.
+
+        ``lazy=True`` (limited-batch runs) allocates the cache but defers the
+        teacher forwards to :meth:`_teacher_logits_for`, which fills only the
+        rows actually visited — an eager pass over all 50k images costs ~14
+        minutes at OWLv2 teacher scale while a ``limit_train_batches`` micro
+        run touches a few dozen of them."""
         if not self.cache_teacher or self._teacher_logits is not None:
             return
-        from qat_vit_tpu.data.pipeline import preprocess_fn
-
-        prep = preprocess_fn(self.image_size)
-        apply = self._teacher_apply
-
-        @jax.jit
-        def fwd(p, imgs):
-            return apply(p, prep(imgs)).astype(jnp.float32)
-
         imgs = self.data["train_images"]
+        n_classes = int(self.hp["num_classes"])
+        if lazy:
+            self._teacher_logits = np.zeros((len(imgs), n_classes), np.float32)
+            self._teacher_mask = np.zeros(len(imgs), bool)
+            logger.info(
+                "teacher logit cache: lazy (limited-batch run; rows fill as "
+                "batches are visited)")
+            return
+        fwd = self._get_teacher_fwd()
         bs = int(self.hp.get("eval_batch_size", 512))
-        out = np.empty((len(imgs), int(self.hp["num_classes"])), np.float32)
+        out = np.empty((len(imgs), n_classes), np.float32)
         t0 = time.perf_counter()
         for start in range(0, len(imgs), bs):
             chunk = imgs[start : start + bs]
@@ -371,14 +403,25 @@ class KDQATTrainer:
             logits = fwd(self.teacher_params, jnp.asarray(chunk))
             out[start : start + bs - pad] = np.asarray(logits)[: bs - pad]
         self._teacher_logits = out
+        self._teacher_mask = np.ones(len(imgs), bool)
         logger.info(
             "cached teacher logits for %d images in %.1fs",
             len(imgs), time.perf_counter() - t0,
         )
 
+    def _teacher_logits_for(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        """Cached teacher logits for one host batch, filling misses."""
+        idx = batch["index"]
+        if not self._teacher_mask[idx].all():
+            logits = self._get_teacher_fwd()(
+                self.teacher_params, jnp.asarray(batch["image"]))
+            self._teacher_logits[idx] = np.asarray(logits, np.float32)
+            self._teacher_mask[idx] = True
+        return self._teacher_logits[idx]
+
     def train_epoch(self, epoch: int, limit_batches: int = 0) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
-        self._ensure_teacher_logits()
+        self._ensure_teacher_logits(lazy=bool(limit_batches))
         step_fn = self.train_step_qat if self.qat_enabled else self.train_step_float
         # observer_interval > 1: observe on every k-th QAT step (the FIRST
         # QAT step always observes — observers start at the ±inf markers and
@@ -407,7 +450,7 @@ class KDQATTrainer:
                 break
             host_batch = {"image": batch["image"], "label": batch["label"]}
             if self.cache_teacher:
-                host_batch["teacher_logits"] = self._teacher_logits[batch["index"]]
+                host_batch["teacher_logits"] = self._teacher_logits_for(batch)
             batch = shard_batch(host_batch, self.mesh)
             fn = step_fn
             if use_interval:

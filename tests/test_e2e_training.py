@@ -233,3 +233,55 @@ class TestEndToEnd:
         restored = load_checkpoint(path, {"params": params})
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored["params"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLazyTeacherCache:
+    """Limited-batch runs fill the teacher-logit cache per visited batch
+    (an eager 50k-image pass costs ~14 min at OWLv2 teacher scale while a
+    micro run touches a few dozen rows); lazy and eager fills must train
+    identically."""
+
+    def test_lazy_fill_matches_eager(self, tmp_path, micro_models):
+        student, teacher = micro_models
+        data = synthetic_cifar10(n_train=512, n_test=128, seed=1)
+        hp = _micro_hparams(tmp_path, epochs=1, qat_start_epoch=5)
+
+        lazy = KDQATTrainer(hp, data=data, student=student, teacher=teacher)
+        m_lazy = lazy.train_epoch(0, limit_batches=2)
+        # only the visited rows were computed
+        assert lazy._teacher_mask.sum() == 2 * hp["batch_size"]
+        # revisiting the same epoch recomputes nothing (mask unchanged)
+        filled = lazy._teacher_mask.copy()
+        lazy.train_epoch(0, limit_batches=2)
+        np.testing.assert_array_equal(lazy._teacher_mask, filled)
+
+        eager = KDQATTrainer(hp, data=data, student=student, teacher=teacher)
+        eager._ensure_teacher_logits()  # full precompute (lazy=False)
+        assert eager._teacher_mask.all()
+        m_eager = eager.train_epoch(0, limit_batches=2)
+
+        # same seed -> same batches; same logits -> same training metrics
+        np.testing.assert_allclose(
+            m_lazy["train_loss"], m_eager["train_loss"], rtol=1e-5)
+        idx = np.flatnonzero(filled)
+        np.testing.assert_allclose(
+            lazy._teacher_logits[idx], eager._teacher_logits[idx],
+            rtol=1e-4, atol=1e-5)
+
+    def test_shared_pair_reused_across_trainers(self, tmp_path, micro_models):
+        """The (logits, mask) pair shares by reference across trainers (the
+        search driver's cross-trial reuse contract)."""
+        student, teacher = micro_models
+        data = synthetic_cifar10(n_train=512, n_test=128, seed=1)
+        hp = _micro_hparams(tmp_path, epochs=1, qat_start_epoch=5)
+
+        t0 = KDQATTrainer(hp, data=data, student=student, teacher=teacher)
+        t0.train_epoch(0, limit_batches=2)
+        pair = (t0._teacher_logits, t0._teacher_mask)
+
+        t1 = KDQATTrainer(hp, data=data, student=student, teacher=teacher,
+                          teacher_params=t0.teacher_params,
+                          teacher_logits=pair)
+        assert t1._teacher_logits is pair[0]
+        t1.train_epoch(0, limit_batches=2)  # same epoch/seed: all cache hits
+        np.testing.assert_array_equal(t1._teacher_mask, t0._teacher_mask)
