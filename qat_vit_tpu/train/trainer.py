@@ -421,7 +421,21 @@ class KDQATTrainer:
 
     def train_epoch(self, epoch: int, limit_batches: int = 0) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
-        self._ensure_teacher_logits(lazy=bool(limit_batches))
+        # Lazy only when the run will visit a small fraction of the dataset.
+        # With per-epoch reshuffle a mostly-filled cache still misses on
+        # nearly every batch (any one uncached row re-runs the teacher on the
+        # whole batch), so e.g. the search regime (200 batches x 10 epochs =
+        # 128k visits over 50k images) must keep the one-shot eager pass —
+        # lazy there would degrade to per-step teacher forwards every epoch.
+        lazy = False
+        if limit_batches:
+            planned = (
+                limit_batches * int(self.hp["batch_size"])
+                * self.dist.world_size
+                * max(1, int(self.hp.get("epochs", 1)))
+            )
+            lazy = planned < len(self.data["train_images"]) // 2
+        self._ensure_teacher_logits(lazy=lazy)
         step_fn = self.train_step_qat if self.qat_enabled else self.train_step_float
         # observer_interval > 1: observe on every k-th QAT step (the FIRST
         # QAT step always observes — observers start at the ±inf markers and

@@ -285,3 +285,16 @@ class TestLazyTeacherCache:
         assert t1._teacher_logits is pair[0]
         t1.train_epoch(0, limit_batches=2)  # same epoch/seed: all cache hits
         np.testing.assert_array_equal(t1._teacher_mask, t0._teacher_mask)
+
+    def test_search_regime_stays_eager(self, tmp_path, micro_models):
+        """When the planned visits cover a large fraction of the dataset
+        (the search regime: limited batches x many reshuffled epochs), the
+        one-shot eager precompute is kept — lazy would re-run the teacher on
+        nearly every batch of every epoch (any one uncached row in a
+        reshuffled batch is a miss)."""
+        student, teacher = micro_models
+        data = synthetic_cifar10(n_train=256, n_test=128, seed=1)
+        hp = _micro_hparams(tmp_path, epochs=3, qat_start_epoch=5)
+        t = KDQATTrainer(hp, data=data, student=student, teacher=teacher)
+        t.train_epoch(0, limit_batches=2)  # 2*64*3 planned >= 256//2
+        assert t._teacher_mask.all()
