@@ -60,14 +60,21 @@ def _plain_kernel(x_ref, w_ref, colsum_ref, bias_ref, ws_ref, qs_ref, out_ref):
 
 
 # ---------------------------------------------------------------------------
-# fc1: x_q @ W -> gelu(tanh approx) -> int8 (the fc2 input, quantized with
-# the GELU-transformed observer range; see quant/convert.act_output_qparams)
+# fc1: x_q @ W -> activation -> int8 (the fc2 input, quantized with the
+# activation-transformed observer range; see quant/convert.act_output_qparams).
+# act="gelu" is the tanh approximation; act="quick_gelu" (OWLv2/CLIP) is
+# exact x*sigmoid(1.702x) in f32 — the same formula the XLA path computes.
 # ---------------------------------------------------------------------------
 
-def _gelu_q_kernel(x_ref, w_ref, colsum_ref, bias_ref, ws_ref, qs_ref, out_ref):
+def _gelu_q_kernel(
+    x_ref, w_ref, colsum_ref, bias_ref, ws_ref, qs_ref, out_ref, *, act
+):
     acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
     y = _dequant(acc, colsum_ref[:], ws_ref[:], bias_ref[:], qs_ref)
-    g = jax.nn.gelu(y, approximate=True)
+    if act == "quick_gelu":
+        g = y * jax.nn.sigmoid(1.702 * y)
+    else:
+        g = jax.nn.gelu(y, approximate=True)
     out_ref[:] = _quantize_shifted(g, qs_ref[0, 2], qs_ref[0, 3])
 
 
@@ -172,13 +179,13 @@ def _run_plain(x_q, w_q, colsum, bias, ws, qs, *, tile_m, out_dtype, interpret):
     return out[:m_orig]
 
 
-@partial(jax.jit, static_argnames=("tile_m", "interpret"))
-def _run_gelu_q(x_q, w_q, colsum, bias, ws, qs, *, tile_m, interpret):
+@partial(jax.jit, static_argnames=("tile_m", "act", "interpret"))
+def _run_gelu_q(x_q, w_q, colsum, bias, ws, qs, *, tile_m, act, interpret):
     k, n = w_q.shape
     x_q, m_orig = _pad_rows(x_q, tile_m)
     grid = (x_q.shape[0] // tile_m,)
     out = pl.pallas_call(
-        _gelu_q_kernel,
+        partial(_gelu_q_kernel, act=act),
         out_shape=jax.ShapeDtypeStruct((x_q.shape[0], n), jnp.int8),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -314,14 +321,14 @@ def int8_dense(
 
 def int8_dense_gelu_q(
     x_q: jnp.ndarray, layer: dict, in_q: dict, gelu_out_q: dict, *,
-    tile_m: int = _TILE_M, interpret: bool = False,
+    act: str = "gelu", tile_m: int = _TILE_M, interpret: bool = False,
 ) -> jnp.ndarray:
     lead = x_q.shape[:-1]
     colsum, bias, ws = _prep_layer(layer)
     out = _run_gelu_q(
         _as_2d(x_q), layer["w_int8"], colsum, bias, ws,
         _qscales(in_q, gelu_out_q),
-        tile_m=tile_m, interpret=interpret,
+        tile_m=tile_m, act=act, interpret=interpret,
     )
     return out.reshape(*lead, -1)
 

@@ -305,12 +305,11 @@ def _fused_blocks(
     mixed = mode.startswith("mixed")
     pallas_qkv = mode in ("mixed", "mixed_qkv")
     pallas_fc1 = mode in ("mixed", "mixed_fc1")
-    if cfg.act != "gelu" and (pallas_fc1 or not mixed):
-        # the Pallas fc1 epilogue and the all-Pallas chain bake in tanh-GELU;
-        # quick-GELU (OWLv2/CLIP) must keep fc1's activation in XLA, where
-        # it is computed exactly (convert's gelu_q qparams assume it).
+    if cfg.act not in ("gelu", "quick_gelu") and (pallas_fc1 or not mixed):
+        # the Pallas fc1 epilogue computes tanh-GELU or exact quick-GELU
+        # in-kernel; any other activation must stay in XLA.
         raise NotImplementedError(
-            f"fused mode {mode!r} computes in-kernel tanh GELU; "
+            f"fused mode {mode!r} computes the activation in-kernel; "
             f"act={cfg.act!r} models need 'mixed_none'/'mixed_qkv' (or the "
             "exact path)"
         )
@@ -380,7 +379,8 @@ def _fused_blocks(
             zq2 = xla_ln_q(x, blk["norm2"], blk["norm2"]["out_q"])
             if pallas_fc1:
                 g_q = int8_dense_gelu_q(
-                    zq2, blk["fc1"], blk["norm2"]["out_q"], blk["gelu_q"]
+                    zq2, blk["fc1"], blk["norm2"]["out_q"], blk["gelu_q"],
+                    act=cfg.act,
                 )
             else:
                 f1 = xla_dense(zq2, blk["fc1"], blk["norm2"]["out_q"])
@@ -404,7 +404,8 @@ def _fused_blocks(
                 blk["norm2"], blk["norm2"]["out_q"], eps=eps, out_dtype=cdt,
             )
             g_q = int8_dense_gelu_q(
-                zq2, blk["fc1"], blk["norm2"]["out_q"], blk["gelu_q"]
+                zq2, blk["fc1"], blk["norm2"]["out_q"], blk["gelu_q"],
+                act=cfg.act,
             )
             # the fc2 epilogue carries the NEXT LayerNorm (block i+1's
             # norm1, or the final norm on the last block) and its input

@@ -191,6 +191,12 @@ def main():
     bench("mixed_none+pallas_long", lambda qp, x: int8_apply(
         qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
         fused="mixed_none", attn_impl="pallas_long"))
+    # the fused GEMM-epilogue rungs at long-sequence geometries (the fc1
+    # epilogue computes quick-GELU exactly in-kernel for OWLv2/CLIP models)
+    for mode in ("mixed", "mixed_qkv", "mixed_fc1", "pallas"):
+        bench(f"{mode}+pallas_long", lambda qp, x, m=mode: int8_apply(
+            qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+            fused=m, attn_impl="pallas_long"))
     from qat_vit_tpu.serve.int8_vit import serving_preset
 
     bench("preset", lambda qp, x: int8_apply(

@@ -65,6 +65,22 @@ class TestFusedDense:
         )
         assert (np.asarray(got) == np.asarray(want)).all()
 
+    def test_quick_gelu_q_bitexact(self, gemm_case):
+        """act='quick_gelu' epilogue computes exact x*sigmoid(1.702x) — the
+        formula the XLA path uses and the convert-time gelu_q qparams
+        assume (OWLv2/CLIP models)."""
+        x_q, layer, in_q, ref = gemm_case
+        out_q = {"scale": jnp.float32(0.09), "zero_point": jnp.float32(3.0)}
+        want = quantize_act_shifted(
+            ref * jax.nn.sigmoid(1.702 * ref),
+            out_q["scale"], out_q["zero_point"],
+        )
+        got = fs.int8_dense_gelu_q(
+            x_q, layer, in_q, out_q, act="quick_gelu", tile_m=256,
+            interpret=True,
+        )
+        assert (np.asarray(got) == np.asarray(want)).all()
+
     def test_resid_ln_q_matches(self, gemm_case):
         x_q, layer, in_q, ref = gemm_case
         rng = np.random.default_rng(1)
@@ -248,13 +264,34 @@ class TestServingModeSelection:
             np.asarray(fused), np.asarray(base), rtol=1e-4, atol=1e-4
         )
 
-    def test_quick_gelu_inkernel_modes_raise(self):
+    def test_quick_gelu_fused_modes_match_exact(self):
+        """The Pallas fc1 epilogue computes quick-GELU exactly in-kernel, so
+        every fused rung is available to OWLv2/CLIP models and must agree
+        with the exact path."""
         from qat_vit_tpu.serve.int8_vit import int8_apply
 
         qp, x, cfg = _quick_gelu_export(batch=2)
+        base = int8_apply(qp, x, cfg)  # exact path: quick-GELU in f32
+        for mode in ("mixed", "mixed_fc1", "pallas"):
+            with pltpu.force_tpu_interpret_mode():
+                fused = int8_apply(qp, x, cfg, fused=mode)
+            assert (base.argmax(-1) == fused.argmax(-1)).all(), mode
+            np.testing.assert_allclose(
+                np.asarray(fused), np.asarray(base), rtol=1e-4, atol=1e-4,
+                err_msg=mode,
+            )
+
+    def test_unsupported_act_inkernel_modes_raise(self):
+        import dataclasses
+
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=2)
+        relu_cfg = dataclasses.replace(cfg, act="relu")
         for mode in ("mixed", "mixed_fc1", "pallas"):
             with pytest.raises(NotImplementedError):
-                int8_apply(qp, x, cfg, fused=mode)
+                int8_apply(qp, x, relu_cfg, fused=mode)
+        # the megablock kernel still bakes tanh-GELU only
         with pytest.raises(NotImplementedError):
             int8_apply(qp, x, cfg, fused="megablock:4:tight")
 
