@@ -37,7 +37,9 @@ from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla, quantize_act_shift
 
 ITERS = 30
 
-# (name, M_tokens_per_image, K, N) — ViT-S/16 @224 GEMMs
+# (name, M_tokens_per_image, K, N) — ViT-S/16 @224 GEMMs by default;
+# override via QVT_SHAPES="name:m:k:n,..." (e.g. the OWLv2-pruned chain is
+# "qkv:2305:576:1728,proj:2305:576:576,fc1:2305:576:2304,fc2:2305:2304:576")
 SHAPES = [
     ("patch_embed", 196, 768, 384),
     ("qkv", 197, 384, 1152),
@@ -45,6 +47,11 @@ SHAPES = [
     ("fc1", 197, 384, 1536),
     ("fc2", 197, 1536, 384),
 ]
+if os.environ.get("QVT_SHAPES"):
+    SHAPES = [
+        (p.split(":")[0],) + tuple(int(v) for v in p.split(":")[1:])
+        for p in os.environ["QVT_SHAPES"].split(",")
+    ]
 
 
 
