@@ -280,6 +280,7 @@ class Attention(nn.Module):
         from qat_vit_tpu.ops.flash_attention_train import (
             attention_train,
             attention_train_available,
+            forced_interpret,
         )
         from qat_vit_tpu.ops.long_attention import (
             long_attention_train,
@@ -294,7 +295,8 @@ class Attention(nn.Module):
             # fused Pallas fwd + custom-VJP bwd: the [B,H,N,N] probability
             # tensor never exists in HBM in either direction (the dominant
             # activation traffic of the train step — train_step_bench.py)
-            out = attention_train(qkv_packed, h, hd)
+            out = attention_train(qkv_packed, h, hd,
+                                  interpret=forced_interpret())
         elif (
             cfg.fast_math
             and cfg.attn_kernel
@@ -304,7 +306,8 @@ class Attention(nn.Module):
             # non-lane-aligned widths — OWLv2 hits both): the q-tiled
             # long-sequence pair; XLA would store [B,H,N,N] probabilities
             # for the backward (~850 MB at OWLv2-pruned batch 8)
-            out = long_attention_train(qkv_packed, h, hd)
+            out = long_attention_train(qkv_packed, h, hd,
+                                       interpret=forced_interpret())
         else:
             qkv = qkv_packed.reshape(B, N, 3, h, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, hd]

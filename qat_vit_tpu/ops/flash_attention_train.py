@@ -25,6 +25,7 @@ matmuls, src/training/qat_trainer.py:333-364 forward path).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -34,6 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from qat_vit_tpu.ops import _tiling as tiling
 from qat_vit_tpu.ops.flash_attention import _fused_attention_call
+
+
+def forced_interpret() -> bool:
+    """Test hook: ``QVT_ATTN_INTERPRET=1`` runs the Pallas attention kernels
+    in interpret mode off-TPU, so the 8-virtual-CPU-device suite can exercise
+    the kernel path (e.g. under the shard_map DP train step) with the exact
+    production trace."""
+    return os.environ.get("QVT_ATTN_INTERPRET", "") == "1"
 
 
 def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
@@ -207,6 +216,5 @@ def attention_train_available(
         n_pad = max(32, -(-seq_len // 32) * 32)
         if not tiling.batched_softmax_fits(num_heads, n_pad):
             return False
-    return jax.default_backend() == "tpu" and tiling.shapes_ok(
-        num_heads, head_dim
-    )
+    backend_ok = jax.default_backend() == "tpu" or forced_interpret()
+    return backend_ok and tiling.shapes_ok(num_heads, head_dim)

@@ -319,6 +319,7 @@ def long_attention_train_available(
 ) -> bool:
     if seq_len is not None and -(-seq_len // q_tile) * q_tile > _MAX_N_PAD:
         return False
-    return jax.default_backend() == "tpu" and long_attention_shapes_ok(
-        num_heads, head_dim
-    )
+    from qat_vit_tpu.ops.flash_attention_train import forced_interpret
+
+    backend_ok = jax.default_backend() == "tpu" or forced_interpret()
+    return backend_ok and long_attention_shapes_ok(num_heads, head_dim)

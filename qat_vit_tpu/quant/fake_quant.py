@@ -73,6 +73,7 @@ def fused_moving_avg_obs_fake_quant(
     observe: bool,
     fake_quant: bool = True,
     averaging_constant: float = DEFAULT_AVERAGING_CONSTANT,
+    axis_name=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Functional equivalent of one ``FusedMovingAvgObsFakeQuantize`` step.
 
@@ -80,11 +81,16 @@ def fused_moving_avg_obs_fake_quant(
     derive qparams from the *updated* state, fake-quantize. Returns
     ``(y, new_min, new_max)`` so callers thread observer state explicitly
     (Flax variables in the module layer, plain pytrees elsewhere).
+
+    ``axis_name`` (shard_map data axis): global-batch min/max via pmin/pmax
+    before the EMA — see :func:`update_moving_avg_minmax`. Only traced when
+    ``observe=True``, so the same config evaluates fine outside shard_map.
     """
     if observe:
         # Observation must not differentiate through x.
         new_min, new_max = update_moving_avg_minmax(
-            min_val, max_val, jax.lax.stop_gradient(x), averaging_constant
+            min_val, max_val, jax.lax.stop_gradient(x), averaging_constant,
+            axis_name=axis_name,
         )
     else:
         new_min, new_max = min_val, max_val

@@ -47,6 +47,7 @@ class FakeQuantizer(nn.Module):
             quant_max=self.cfg.quant_max,
             observe=update,
             averaging_constant=self.cfg.averaging_constant,
+            axis_name=self.cfg.axis_name,
         )
         if update:
             min_val.value = new_min

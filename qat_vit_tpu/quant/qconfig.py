@@ -23,6 +23,13 @@ class FakeQuantConfig:
     quant_max: int
     symmetric: bool
     averaging_constant: float = DEFAULT_AVERAGING_CONSTANT
+    # Mesh axis name to reduce batch min/max over BEFORE the EMA update
+    # (``lax.pmin``/``pmax``). Set by the trainer on ACTIVATION observers when
+    # the train step runs under ``shard_map`` over a data axis, so observers
+    # keep the global-batch semantics the GSPMD path gets for free. ``None``
+    # (default) for single-device, GSPMD-partitioned, or weight observers
+    # (weights are replicated — their min/max is already global).
+    axis_name: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,6 +106,7 @@ def make_train_step(
     image_size: int,
     donate: bool = True,
     observe: bool = True,
+    mesh=None,
 ) -> Callable:
     """Build the jitted KD(+QAT) train step.
 
@@ -122,8 +123,19 @@ def make_train_step(
     pipeline has no augmentation, so its logits per image are constants —
     computing them once removes the ViT-B forward from every step; measured
     ~30% of the QAT step on v5e).
+
+    ``mesh``: a pure-DP device mesh (model axis 1). The step body is wrapped
+    in ``shard_map`` over the ``data`` axis — batch sharded, state/teacher
+    replicated, gradients ``pmean``-ed — instead of relying on GSPMD
+    propagation. Inside shard_map each device runs the unmodified per-device
+    program, so the opaque Pallas attention custom-VJP (which the GSPMD
+    partitioner cannot split and would force an all-gather) survives
+    multi-chip DP. Observer global-batch semantics are preserved via
+    pmin/pmax inside the observers (FakeQuantConfig.axis_name must be set to
+    the data axis on activation observers when using this path).
     """
     prep = preprocess_fn(image_size)
+    axis = _data_axis(mesh)
 
     def step(
         state: TrainState,
@@ -173,6 +185,13 @@ def make_train_step(
             return loss, (metrics, new_qs)
 
         grads, (metrics, new_qs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if axis is not None:
+            # synchronous DP: mean of per-shard grads == grad of the
+            # global-batch mean loss (equal shard sizes); clip-by-global-norm
+            # then applies to the GLOBAL gradient, like DDP's post-all-reduce
+            # clip (reference qat_trainer.py:354-361)
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), metrics)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -183,14 +202,28 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if axis is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        step = shard_map(
+            step, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(
-    student_apply: Callable, *, qat: bool, image_size: int
+    student_apply: Callable, *, qat: bool, image_size: int, mesh=None
 ) -> Callable:
-    """Jitted eval step → #top-1-correct in the batch (observers frozen)."""
+    """Jitted eval step → #top-1-correct in the batch (observers frozen).
+
+    ``mesh`` (pure-DP): shard_map over the data axis with a ``psum`` of the
+    per-shard correct counts — same rationale as :func:`make_train_step`."""
     prep = preprocess_fn(image_size)
+    axis = _data_axis(mesh)
 
     def step(params, quant_stats, batch) -> jnp.ndarray:
         x = prep(batch["image"])
@@ -200,9 +233,38 @@ def make_eval_step(
             )
         else:
             logits = student_apply({"params": params}, x, observe=False)
-        return top1_correct(logits, batch["label"])
+        correct = top1_correct(logits, batch["label"])
+        if axis is not None:
+            correct = jax.lax.psum(correct, axis)
+        return correct
 
+    if axis is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        step = shard_map(
+            step, mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=P(),
+            check_rep=False,
+        )
     return jax.jit(step)
+
+
+def _data_axis(mesh) -> Optional[str]:
+    """The shard_map data-axis name for a pure-DP multi-device mesh, else
+    None (single device → plain jit; model-parallel → GSPMD propagation,
+    which partitions the einsum attention exactly)."""
+    if mesh is None or mesh.devices.size == 1:
+        return None
+    from qat_vit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    if mesh.shape.get(MODEL_AXIS, 1) != 1:
+        raise ValueError(
+            "shard_map train step supports pure-DP meshes only; pass "
+            "mesh=None for tensor-parallel (GSPMD) training"
+        )
+    return DATA_AXIS if mesh.shape.get(DATA_AXIS, 1) > 1 else None
 
 
 def init_quant_stats(module, cfg, rng=None) -> FrozenDict:

@@ -99,6 +99,9 @@ class EpochResult:
     quant_acc: float
     qat_enabled: bool
     imgs_per_sec: float
+    # per-host eval dispatches this epoch (multi-host: test set is sharded
+    # rank::world, so this drops world_size-fold vs a replicated eval)
+    eval_batches: int = 0
 
 
 class KDQATTrainer:
@@ -164,9 +167,30 @@ class KDQATTrainer:
         # fast_math (bf16 softmax + tanh GELU) rides the bf16 phases only;
         # the strict-parity f32 QAT step keeps exact reference numerics
         fast = bool(self.hp.get("amp_fast_math", True))
-        # the Pallas attention kernel only on an unsharded (1-device) step:
-        # GSPMD cannot partition the custom call (see ViTConfig.attn_kernel)
-        attn_kernel = self.mesh.devices.size == 1
+        # Multi-device pure-DP meshes run the train step under shard_map
+        # (train/steps.py): each device executes the unmodified per-device
+        # program on its batch shard, so the Pallas attention custom-VJP —
+        # which the GSPMD partitioner cannot split — keeps working. Only a
+        # tensor-parallel (model-axis) mesh still needs GSPMD propagation,
+        # where the kernel must stay off (the partitioner would all-gather
+        # around the opaque custom call).
+        from qat_vit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        model_size = self.mesh.shape.get(MODEL_AXIS, 1)
+        self.use_shard_map = model_size == 1 and self.mesh.devices.size > 1
+        attn_kernel = self.mesh.devices.size == 1 or self.use_shard_map
+        if self.use_shard_map:
+            # observers must reduce batch min/max over the data axis inside
+            # the shard_map body to keep global-batch semantics (GSPMD gets
+            # this for free from the sharded reduce; shard_map needs explicit
+            # pmin/pmax). Weight observers see replicated tensors — no
+            # collective needed.
+            qconfig = dataclasses.replace(
+                qconfig,
+                activation=dataclasses.replace(
+                    qconfig.activation, axis_name=DATA_AXIS
+                ),
+            )
         self.student_qat_cfg = dataclasses.replace(
             base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=qat_dtype,
             fast_math=fast and qat_dtype == jnp.bfloat16,
@@ -240,6 +264,7 @@ class KDQATTrainer:
         )
         self.qat_enabled = False
         self.loss_hp = loss_hparams(self.hp)
+        self.last_eval_batches = 0
 
         # ---- compiled steps (shareable across trainers via `steps=`) ----
         teacher_apply = lambda p, x: self.teacher.module.apply(  # noqa: E731
@@ -249,19 +274,22 @@ class KDQATTrainer:
         self.cache_teacher = bool(self.hp.get("cache_teacher_logits", True))
         step_teacher = None if self.cache_teacher else teacher_apply
         shared = steps if steps is not None else {}
+        step_mesh = self.mesh if self.use_shard_map else None
         self.train_step_float = shared.get("train_float") or make_train_step(
             step_teacher, self.student_float.apply, self.tx,
-            qat=False, image_size=image_size,
+            qat=False, image_size=image_size, mesh=step_mesh,
         )
         self.eval_step_float = shared.get("eval_float") or make_eval_step(
-            self.student_float.apply, qat=False, image_size=image_size
+            self.student_float.apply, qat=False, image_size=image_size,
+            mesh=step_mesh,
         )
         self.train_step_qat = shared.get("train_qat") or make_train_step(
             step_teacher, self.student_qat.apply, self.tx,
-            qat=True, image_size=image_size,
+            qat=True, image_size=image_size, mesh=step_mesh,
         )
         self.eval_step_qat = shared.get("eval_qat") or make_eval_step(
-            self.student_qat.apply, qat=True, image_size=image_size
+            self.student_qat.apply, qat=True, image_size=image_size,
+            mesh=step_mesh,
         )
         # opt-in beyond-parity throughput lever: update observers every k-th
         # QAT step, fake-quant from frozen stats in between. 1 (default) =
@@ -273,6 +301,7 @@ class KDQATTrainer:
             make_train_step(
                 step_teacher, self.student_qat.apply, self.tx,
                 qat=True, image_size=image_size, observe=False,
+                mesh=step_mesh,
             ) if self.observer_interval > 1 else None
         )
         self._qat_py_step = 0  # QAT steps taken (host-side, for the interval)
@@ -496,6 +525,43 @@ class KDQATTrainer:
         return out
 
     # ------------------------------------------------------------------
+    def _eval_shard(self):
+        """This host's strided test-set shard (≙ DistributedSampler without
+        shuffle): indices ``rank::world_size``. All hosts pad to the same
+        batch count, so the compiled collectives line up."""
+        n = len(self.data["test_labels"])
+        return np.arange(n)[self.dist.rank :: self.dist.world_size]
+
+    def _eval_shard_batches(self, limit_batches: int, bs: int):
+        """Yield ``(host_batch, n_real_global)`` over the sharded test set.
+
+        ``n_real_global`` is the number of REAL (non-padding) examples in the
+        corresponding GLOBAL batch — computed analytically from the shard
+        arithmetic (identical on every host, no communication)."""
+        imgs = self.data["test_images"]
+        labels = self.data["test_labels"]
+        n = len(labels)
+        world = self.dist.world_size
+        shard = self._eval_shard()
+        shard_len = -(-n // world)  # longest shard: everyone pads to this
+        n_batches = -(-shard_len // bs)
+        for i in range(n_batches):
+            if limit_batches and i >= limit_batches:
+                break
+            sel = shard[i * bs : (i + 1) * bs]
+            batch = _pad_batch(
+                {
+                    "image": imgs[sel],
+                    "label": labels[sel].astype(np.int32),
+                },
+                bs,
+            )
+            real = 0
+            for r in range(world):
+                len_r = (n - r + world - 1) // world  # host r's shard length
+                real += max(0, min(len_r, (i + 1) * bs) - min(len_r, i * bs))
+            yield batch, real
+
     def evaluate(self, limit_batches: int = 0) -> float:
         """Top-1 on the test set with the current (float or fake-quant) model
         (reference evaluate_fp32, :49-61).
@@ -503,26 +569,42 @@ class KDQATTrainer:
         Multi-host: EVERY process must call this — the sharded eval step
         compiles cross-host collectives that all processes enter (the
         reference's rank-0-only eval works because each DDP rank holds a full
-        model copy; here rank-0-only would deadlock). Each host feeds the full
-        test set, so the assembled global batch holds ``process_count`` exact
-        copies of each example; the returned accuracy divides them back out
-        and is bit-identical to a single-host full-set eval on every process.
+        model copy; here rank-0-only would deadlock). Each host feeds its own
+        strided test-set SHARD (rank::world), so the assembled global batch
+        holds ``world_size × eval_batch_size`` distinct examples and the
+        per-host batch count drops ``world_size``-fold vs a replicated eval;
+        the step's global correct-count (psum / global reduce) is identical
+        on every process.
         """
         step_fn = self.eval_step_qat if self.qat_enabled else self.eval_step_float
-        n_copies = self.dist.world_size  # = jax.process_count()
+        bs = int(self.hp.get("eval_batch_size", 512))
         correct = 0
         total = 0
-        for i, batch in enumerate(self.eval_loader):
-            if limit_batches and i >= limit_batches:
-                break
-            n = len(batch["label"])
-            batch = _pad_batch(batch, int(self.hp.get("eval_batch_size", 512)))
-            batch = shard_batch(
-                {"image": batch["image"], "label": batch["label"]}, self.mesh
-            )
-            c = step_fn(self.state.params, self.state.quant_stats, batch)
-            correct += int(c)  # counts over the global batch (all copies)
-            total += n * n_copies
+        n_batches = 0
+        if self.dist.world_size == 1:
+            # single host: the prefetching loader over the full set
+            for i, batch in enumerate(self.eval_loader):
+                if limit_batches and i >= limit_batches:
+                    break
+                n = len(batch["label"])
+                batch = _pad_batch(batch, bs)
+                batch = shard_batch(
+                    {"image": batch["image"], "label": batch["label"]}, self.mesh
+                )
+                c = step_fn(self.state.params, self.state.quant_stats, batch)
+                correct += int(c)
+                total += n
+                n_batches += 1
+        else:
+            for batch, real in self._eval_shard_batches(limit_batches, bs):
+                gbatch = shard_batch(
+                    {"image": batch["image"], "label": batch["label"]}, self.mesh
+                )
+                c = step_fn(self.state.params, self.state.quant_stats, gbatch)
+                correct += int(c)  # global count (identical on every host)
+                total += real
+                n_batches += 1
+        self.last_eval_batches = n_batches  # per-host dispatches (observability)
         return correct / max(total, 1)
 
     # ------------------------------------------------------------------
@@ -614,24 +696,44 @@ class KDQATTrainer:
 
     def evaluate_int8(self, qparams=None, limit_batches: int = 0) -> float:
         """True-int8 eval (the working replacement for
-        evaluate_quantized_cpu, reference :64-77)."""
+        evaluate_quantized_cpu, reference :64-77).
+
+        Multi-host: each host runs only its test-set shard through its local
+        int8 forward (the forward itself has no collectives), then the
+        per-host correct counts are summed with one ``process_allgather`` —
+        a ``world_size``-fold cut of the duplicated last-epoch eval."""
         qparams = qparams if qparams is not None else self.convert_int8()
         fwd = make_int8_forward(self.student_qat_cfg)
         from qat_vit_tpu.data.pipeline import preprocess
 
+        bs = int(self.hp.get("eval_batch_size", 512))
         correct = 0
         total = 0
-        for i, batch in enumerate(self.eval_loader):
-            if limit_batches and i >= limit_batches:
-                break
-            n = len(batch["label"])
-            batch = _pad_batch(batch, int(self.hp.get("eval_batch_size", 512)))
+        if self.dist.world_size == 1:
+            for i, batch in enumerate(self.eval_loader):
+                if limit_batches and i >= limit_batches:
+                    break
+                n = len(batch["label"])
+                batch = _pad_batch(batch, bs)
+                x = preprocess(jnp.asarray(batch["image"]), size=self.image_size)
+                logits = fwd(qparams, x)
+                pred = np.asarray(jnp.argmax(logits, axis=-1))
+                correct += int((pred[:n] == batch["label"][:n]).sum())
+                total += n
+            return correct / max(total, 1)
+        for batch, real in self._eval_shard_batches(limit_batches, bs):
             x = preprocess(jnp.asarray(batch["image"]), size=self.image_size)
             logits = fwd(qparams, x)
             pred = np.asarray(jnp.argmax(logits, axis=-1))
-            correct += int((pred[:n] == batch["label"][:n]).sum())
-            total += n
-        return correct / max(total, 1)
+            # padded rows carry label -1: never equal to an argmax
+            correct += int((pred == batch["label"]).sum())
+            total += real
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.asarray([correct], np.int64)
+        )
+        return int(np.sum(counts)) / max(total, 1)
 
 
 def _pad_batch(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
@@ -761,7 +863,8 @@ def train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
             )
         results.append(
             EpochResult(epoch, tm.get("train_loss", 0.0), qat_acc, quant_acc,
-                        trainer.qat_enabled, tm["imgs_per_sec"])
+                        trainer.qat_enabled, tm["imgs_per_sec"],
+                        eval_batches=trainer.last_eval_batches)
         )
         barrier("epoch_end")  # ≙ :402-403
 

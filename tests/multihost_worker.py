@@ -127,6 +127,7 @@ def main() -> None:
             "qat_acc": float(r.qat_acc),
             "quant_acc": float(r.quant_acc),
             "qat_enabled": bool(r.qat_enabled),
+            "eval_batches": int(r.eval_batches),
         }
         for r in result["results"]
     ]

