@@ -133,6 +133,120 @@ def timm_vit_to_params(
     return params
 
 
+def owlv2_vision_to_params(
+    state: Mapping[str, np.ndarray], cfg: ViTConfig, strict: bool = True
+) -> Dict[str, Any]:
+    """Map an HF ``Owlv2VisionModel``/``CLIPVisionModel`` state dict to a
+    VisionTransformer pytree (``pre_norm=True, act="quick_gelu",
+    patch_bias=False`` — see models/owlv2.py:owlv2_vision_vit_kwargs).
+
+    This is the weight path for the reference's OWLv2 teacher
+    (``google/owlv2-base-patch16-ensemble``, ref model_registry.py:269-279)
+    once a local checkpoint exists. Layout notes beyond the timm mapping:
+
+    - keys may carry an ``owlv2.``/``vision_model.`` prefix (full detection
+      model vs bare tower) — both are stripped;
+    - CLIP spells the pre-encoder LN ``pre_layrnorm`` (an upstream typo),
+      OWLv2 spells it ``pre_layernorm`` — both accepted;
+    - separate q/k/v projections are packed into our fused qkv kernel with
+      column order q|k|v (models/vit.py reshapes [B,N,3D] -> [B,N,3,h,hd]);
+    - ``class_embedding`` [D] -> cls_token [1,1,D];
+      ``position_embedding.weight`` [N+1,D] -> pos_embed [1,N+1,D];
+    - the classifier ``head`` has no HF counterpart and is NOT returned —
+      merge the converted tree over an initialized template (the trainer's
+      tolerant loader does this) or install a head explicitly.
+    """
+    norm = {}
+    for k, v in normalize_state_dict_keys(state).items():
+        if k.startswith("owlv2."):  # full Owlv2ForObjectDetection checkpoint
+            k = k[len("owlv2.") :]
+        if k.startswith("vision_model."):
+            k = k[len("vision_model.") :]
+        elif "text_model" in k or k.split(".")[0] in (
+            "class_head", "box_head", "objectness_head", "logit_scale",
+            "logit_shift", "layer_norm", "visual_projection",
+            "text_projection",
+        ):
+            continue  # detection/text parts: not part of the vision tower
+        norm[k] = np.asarray(v)
+    state = norm
+    used = set()
+
+    def take(key: str) -> np.ndarray:
+        used.add(key)
+        return state[key]
+
+    def dense(prefix: str) -> Dict[str, np.ndarray]:
+        return {
+            "kernel": take(f"{prefix}.weight").T.astype(np.float32),
+            "bias": take(f"{prefix}.bias").astype(np.float32),
+        }
+
+    def ln(prefix: str) -> Dict[str, np.ndarray]:
+        return {
+            "ln": {
+                "scale": take(f"{prefix}.weight").astype(np.float32),
+                "bias": take(f"{prefix}.bias").astype(np.float32),
+            }
+        }
+
+    D = cfg.embed_dim
+    conv_w = take("embeddings.patch_embedding.weight")  # [D, C, p, p], no bias
+    assert conv_w.shape == (D, 3, cfg.patch_size, cfg.patch_size), conv_w.shape
+    pre_ln_key = (
+        "pre_layernorm" if "pre_layernorm.weight" in state else "pre_layrnorm"
+    )
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "proj": {
+                "kernel": conv_w.transpose(2, 3, 1, 0).reshape(-1, D).astype(np.float32)
+            }
+        },
+        "cls_token": take("embeddings.class_embedding")
+        .reshape(1, 1, D)
+        .astype(np.float32),
+        "pos_embed": take("embeddings.position_embedding.weight")[None]
+        .astype(np.float32),
+        "norm_pre": ln(pre_ln_key),
+        "norm": ln("post_layernorm"),
+    }
+    assert params["pos_embed"].shape == (1, cfg.seq_len, D), (
+        params["pos_embed"].shape, cfg.seq_len,
+    )
+    for i in range(cfg.depth):
+        b = f"encoder.layers.{i}"
+        q = dense(f"{b}.self_attn.q_proj")
+        k = dense(f"{b}.self_attn.k_proj")
+        v = dense(f"{b}.self_attn.v_proj")
+        params[f"blocks_{i}"] = {
+            "norm1": ln(f"{b}.layer_norm1"),
+            "attn": {
+                "qkv": {
+                    "kernel": np.concatenate(
+                        [q["kernel"], k["kernel"], v["kernel"]], axis=1
+                    ),
+                    "bias": np.concatenate([q["bias"], k["bias"], v["bias"]]),
+                },
+                "proj": dense(f"{b}.self_attn.out_proj"),
+            },
+            "norm2": ln(f"{b}.layer_norm2"),
+            "mlp": {
+                "fc1": dense(f"{b}.mlp.fc1"),
+                "fc2": dense(f"{b}.mlp.fc2"),
+            },
+        }
+    unused = set(state) - used
+    if unused:
+        msg = (
+            f"unused checkpoint keys: {sorted(unused)[:8]}"
+            f"{'...' if len(unused) > 8 else ''}"
+        )
+        if strict:
+            raise ValueError(msg)
+        logger.warning(msg)
+    return params
+
+
 def params_to_timm_vit(params: Mapping[str, Any], cfg: ViTConfig) -> Dict[str, np.ndarray]:
     """Inverse mapping (JAX pytree → timm-keyed numpy state dict).
 
