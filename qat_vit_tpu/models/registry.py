@@ -226,6 +226,50 @@ def _create_owlv2_student(
     return _vit_factory(arch, "owlv2_student_pruned")(**kw)
 
 
+def _detector_factory(pruned: bool, name: str):
+    def build(
+        qat_wrapper: bool = False,
+        quant: Optional[QConfig] = None,
+        text_dim: int = 512,
+        **kwargs,
+    ) -> ModelBundle:
+        from qat_vit_tpu.models.owlv2_detect import create_detector
+
+        module, cfg = create_detector(
+            pruned=pruned, qat_wrapper=qat_wrapper, quant=quant,
+            text_dim=text_dim, **kwargs,
+        )
+        return ModelBundle(name=name, module=module, cfg=cfg, task="detection")
+
+    return build
+
+
+@register_model(
+    "owlv2_base_detector",
+    task="detection",
+    input_size=(3, 960, 960),
+    description="Flax OWLv2 open-vocabulary detector: quantizable vision "
+    "tower + float box/class/objectness heads (models/owlv2_detect.py); "
+    "HF-parity forward, loadable from an Owlv2ForObjectDetection checkpoint",
+)
+def _create_owlv2_detector(**kw) -> ModelBundle:
+    """Runnable Flax counterpart of the reference's torch detection entry
+    (ref model_registry.py:99-124, 269-279)."""
+    return _detector_factory(False, "owlv2_base_detector")(**kw)
+
+
+@register_model(
+    "owlv2_pruned_detector",
+    task="detection",
+    input_size=(3, 768, 768),
+    description="Flax pruned-OWLv2 detector (surgery geometry, see "
+    "models/owlv2.prune_owlv2_geometry); quantizable tower, float heads",
+)
+def _create_owlv2_pruned_detector(**kw) -> ModelBundle:
+    """Detection counterpart of owlv2_student_pruned (ref :282-327)."""
+    return _detector_factory(True, "owlv2_pruned_detector")(**kw)
+
+
 @register_model(
     "owlv2_base_teacher_torch",
     task="detection",

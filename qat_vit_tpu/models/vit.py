@@ -424,6 +424,10 @@ class VisionTransformer(nn.Module):
         x = QuantLayerNorm(
             quant=cfg.quant, eps=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm"
         )(x, observe=observe)
+        if cfg.num_classes == 0:
+            # feature-extractor mode (timm num_classes=0): the full normed
+            # token sequence, for detection heads (models/owlv2_detect.py)
+            return x.astype(jnp.float32)
         x = x[:, 0]  # cls-token pooling (timm global_pool='token')
         logits = QuantDense(
             features=cfg.num_classes,
@@ -442,8 +446,9 @@ def count_fake_quant_sites(cfg: ViTConfig) -> dict:
     On a 2-block ViT torch creates 10 weight + 16 activation fake-quants
     (survey-verified); the formula below reproduces that.
     """
-    weights = 1 + 4 * cfg.depth + 1  # patch conv + (qkv,proj,fc1,fc2)/block + head
-    acts = 1 + 4 * cfg.depth + 1  # conv out + dense outs + head out
+    head = 1 if cfg.num_classes else 0  # num_classes=0: feature extractor
+    weights = 1 + 4 * cfg.depth + head  # patch conv + (qkv,proj,fc1,fc2)/block + head
+    acts = 1 + 4 * cfg.depth + head  # conv out + dense outs + head out
     acts += 2 * cfg.depth + 1  # ln1/ln2 per block + final norm
     if cfg.pre_norm:
         acts += 1  # CLIP-style pre-encoder LN output

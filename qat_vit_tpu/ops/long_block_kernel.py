@@ -1,0 +1,310 @@
+"""Whole-transformer-block Pallas kernel for LONG-sequence int8 serving.
+
+The short-sequence megablock (ops/block_kernel.py) holds a whole batch tile's
+scores in VMEM at once — impossible at OWLv2 geometry (2305 tokens: one
+image's [N, N] f32 scores are ~21 MB, nine heads of them ~190 MB). The
+measured decomposition of the long-sequence serving forward
+(docs/BENCHMARKS.md round 2: OWLv2-pruned batch 8 = 32.4 ms, of which
+~10.3 ms is int8 GEMM arithmetic and ~3 ms attention) shows ~19 ms of
+inter-op seams and layout traffic — this kernel removes those seams the same
+way the megablock does (one Pallas call per transformer block, activations
+cross HBM once per block) but restructures the schedule for the long-sequence
+regime, replacing the QNNPACK int8-engine role at detection-model geometry
+(reference src/models/model_registry.py:269-327, qat_trainer.py:293):
+
+- grid over IMAGES (block_b = 1): one image's working set — packed qkv
+  (bf16, ~8 MB at 2432x1728) plus the four int8 weight panels (~4.9 MB,
+  grid-constant so loaded once) — fits VMEM with room for temporaries;
+- the qkv GEMM, the attention-output projection, and the MLP run in
+  row-chunked ``fori_loop`` passes (chunk = ``row_chunk`` sequence rows), so
+  the f32/int32 GEMM temporaries stay small while each dot still feeds the
+  MXU thousands of rows;
+- attention is q-striped per head like ops/long_attention.py: K/V column
+  slabs are sliced from the resident packed qkv once per head (O(N*hd)
+  relayout, amortized over the O(N^2*hd) score work), each stripe computes a
+  [q_tile, N_pad] f32 score stripe, softmaxes it exactly (full key row
+  present — no online-softmax carry), contracts against the resident V, and
+  writes the [q_tile, hd] result into the attention-output scratch. Scores
+  never exist in HBM.
+
+Per block the only HBM traffic is: read zq int8 + x bf16, read weights once,
+write x' bf16 + zq' int8 — identical I/O contract to block_forward, so the
+stack chains custom-call -> custom-call with no XLA ops between blocks.
+
+Numerics profile matches the megablock: int8x int8 -> int32 on the MXU,
+dequant/LN/softmax/activation in f32 on the VPU, bf16 residual stream. The
+MLP activation is computed exactly in-kernel for ``act='quick_gelu'``
+(x * sigmoid(1.702 x) — OWLv2/CLIP's trained nonlinearity) and as tanh-GELU
+for ``act='gelu'`` (the megablock's documented approximation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qat_vit_tpu.ops.block_kernel import _dequant, _gemm_rows, _ln, _q8, _row
+
+_LANE = 128
+
+
+def _act_fn(y: jnp.ndarray, act: str) -> jnp.ndarray:
+    if act == "quick_gelu":
+        return y * jax.nn.sigmoid(1.702 * y)
+    return jax.nn.gelu(y, approximate=True)
+
+
+def _long_block_kernel(
+    # activations (one image per grid step)
+    zq_ref, x_ref,
+    # qkv / proj / fc1 / fc2 weight panels
+    wqkv_ref, cs_qkv_ref, b_qkv_ref, ws_qkv_ref,
+    wproj_ref, cs_proj_ref, b_proj_ref, ws_proj_ref,
+    wfc1_ref, cs_fc1_ref, b_fc1_ref, ws_fc1_ref,
+    wfc2_ref, cs_fc2_ref, b_fc2_ref, ws_fc2_ref,
+    # LayerNorm parameter rows
+    g2_ref, b2_ref, gn_ref, bn_ref,
+    # packed scalar quantization params (SMEM) — same 12-slot layout as
+    # ops/block_kernel._block_kernel
+    qs_ref,
+    # outputs
+    xout_ref, zqout_ref,
+    # scratch
+    qkv_scr, o_scr,
+    *, num_heads, head_dim, mlp_dim, act, eps, n_valid, q_tile, row_chunk,
+):
+    d = num_heads * head_dim
+    n_pad = zq_ref.shape[1]
+    scale = head_dim**-0.5
+    n_chunks = n_pad // row_chunk
+    n_stripes = n_pad // q_tile
+
+    s1 = qs_ref[0, 0]
+    z1 = qs_ref[0, 1].astype(jnp.int32)
+    inv_so = qs_ref[0, 2]
+    zp_o = qs_ref[0, 3]
+    s_o = qs_ref[0, 4]
+    z_o = qs_ref[0, 5].astype(jnp.int32)
+    inv_s2 = qs_ref[0, 6]
+    zp_2 = qs_ref[0, 7]
+    inv_sg = qs_ref[0, 8]
+    zp_g = qs_ref[0, 9]
+    inv_sn = qs_ref[0, 10]
+    zp_n = qs_ref[0, 11]
+
+    # ---- phase 1: qkv GEMM, row-chunked, into the resident bf16 scratch ----
+    def qkv_chunk(c, _):
+        rows = zq_ref[0, pl.ds(c * row_chunk, row_chunk), :]
+        acc = jnp.dot(rows, wqkv_ref[:], preferred_element_type=jnp.int32)
+        y = _dequant(acc, cs_qkv_ref, ws_qkv_ref, b_qkv_ref, s1, z1 - 128)
+        qkv_scr[pl.ds(c * row_chunk, row_chunk), :] = y.astype(qkv_scr.dtype)
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, qkv_chunk, 0, unroll=False)
+
+    # ---- phase 2: q-striped attention per head, into the f32 o scratch ----
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, n_pad), dimension=1)
+    key_mask = col < n_valid
+    for h in range(num_heads):
+        qo, ko, vo = h * head_dim, d + h * head_dim, 2 * d + h * head_dim
+        # one O(N*hd) lane-slice per head; resident across all q stripes
+        k_h = qkv_scr[:, ko : ko + head_dim]
+        v_h = qkv_scr[:, vo : vo + head_dim]
+
+        def stripe(i, _, k_h=k_h, v_h=v_h, qo=qo, h=h):
+            q = qkv_scr[pl.ds(i * q_tile, q_tile), qo : qo + head_dim]
+            s = jax.lax.dot_general(
+                q * jnp.asarray(scale, q.dtype), k_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [q_tile, n_pad]
+            s = jnp.where(key_mask, s, jnp.float32(-1e30))
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_h.dtype)
+            o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+            o_scr[pl.ds(i * q_tile, q_tile), h * head_dim : (h + 1) * head_dim] = o
+            return _
+
+        jax.lax.fori_loop(0, n_stripes, stripe, 0, unroll=False)
+
+    # ---- phase 3: proj(+res+LN2+q) -> fc1(+act+q) -> fc2(+res+LN'+q), ------
+    # row-chunked: each chunk's int32/f32 MLP temporaries die before the next
+    s_2 = 1.0 / inv_s2
+    z_2 = zp_2.astype(jnp.int32)
+    s_g = 1.0 / inv_sg
+    z_g = zp_g.astype(jnp.int32)
+
+    def mlp_chunk(c, _):
+        rows = pl.ds(c * row_chunk, row_chunk)
+        o_q = _q8(o_scr[rows, :], inv_so, zp_o)
+        acc = jnp.dot(o_q, wproj_ref[:], preferred_element_type=jnp.int32)
+        p_out = _dequant(acc, cs_proj_ref, ws_proj_ref, b_proj_ref, s_o,
+                         z_o - 128)
+        x_mid = x_ref[0, rows, :].astype(jnp.float32) + p_out
+        zq2 = _q8(_ln(x_mid, g2_ref, b2_ref, eps), inv_s2, zp_2)
+        acc = jnp.dot(zq2, wfc1_ref[:], preferred_element_type=jnp.int32)
+        f1 = _dequant(acc, cs_fc1_ref, ws_fc1_ref, b_fc1_ref, s_2, z_2 - 128)
+        g_q = _q8(_act_fn(f1, act), inv_sg, zp_g)
+        acc = jnp.dot(g_q, wfc2_ref[:], preferred_element_type=jnp.int32)
+        f2 = _dequant(acc, cs_fc2_ref, ws_fc2_ref, b_fc2_ref, s_g, z_g - 128)
+        x_out = x_mid + f2
+        xout_ref[0, rows, :] = x_out.astype(xout_ref.dtype)
+        zqout_ref[0, rows, :] = _q8(_ln(x_out, gn_ref, bn_ref, eps),
+                                    inv_sn, zp_n)
+        return _
+
+    jax.lax.fori_loop(0, n_chunks, mlp_chunk, 0, unroll=False)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_heads", "head_dim", "mlp_dim", "act", "eps",
+                     "n_valid", "q_tile", "row_chunk", "interpret"),
+)
+def _run_long_block(
+    zq, x, args, qs, *, num_heads, head_dim, mlp_dim, act, eps, n_valid,
+    q_tile, row_chunk, interpret
+):
+    b, n_pad, d = zq.shape
+    tile = lambda r: pl.BlockSpec(  # noqa: E731
+        (1, n_pad, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    rowspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(d), tile(d)]
+    for w, cs, bias, ws in args[:4]:
+        in_specs += [
+            rowspec(w.shape), rowspec(cs.shape), rowspec(bias.shape),
+            rowspec(ws.shape),
+        ]
+    in_specs += [rowspec((1, d))] * 4  # LN rows
+    in_specs += [pl.BlockSpec((1, 12), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    flat = [zq, x]
+    for grp in args[:4]:
+        flat += list(grp)
+    flat += list(args[4]) + [qs]
+    x_out, zq_out = pl.pallas_call(
+        partial(
+            _long_block_kernel, num_heads=num_heads, head_dim=head_dim,
+            mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid,
+            q_tile=q_tile, row_chunk=row_chunk,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, d), jnp.int8),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=(tile(d), tile(d)),
+            scratch_shapes=[
+                pltpu.VMEM((n_pad, 3 * d), jnp.bfloat16),  # packed qkv
+                pltpu.VMEM((n_pad, d), jnp.float32),  # attention output
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # resident weights (~5 MB) + packed qkv (~8 MB) + o (~5.6 MB) +
+            # double-buffered activations + chunk temporaries at OWLv2-pruned
+            # geometry — comfortably under the raised cap
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d * (3 * d + d + 2 * mlp_dim)
+            + 4 * b * num_heads * n_pad * n_pad * head_dim,
+            bytes_accessed=zq.size * 2 + x.size * 2 * x.dtype.itemsize
+            + sum(g[0].size for g in args[:4]),
+            transcendentals=b * num_heads * n_pad * n_pad
+            + b * n_pad * mlp_dim,
+        ),
+        interpret=interpret,
+    )(*flat)
+    return x_out, zq_out
+
+
+def long_block_forward(
+    zq: jnp.ndarray,  # [B, N_pad, D] shifted-int8 LN1 output (GEMM input)
+    x: jnp.ndarray,  # [B, N_pad, D] bf16/f32 residual stream
+    blk: Dict[str, Any],  # one entry of the convert_vit "blocks" tree
+    next_ln: Dict[str, Any],  # next block's norm1 (or the final norm)
+    *,
+    num_heads: int,
+    head_dim: int,
+    act: str = "gelu",
+    eps: float = 1e-6,
+    n_valid: int,
+    q_tile: int = 256,
+    row_chunk: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One full long-sequence ViT block in one Pallas call.
+
+    ``zq``/``x`` must be padded to ``N_pad`` — a multiple of
+    ``lcm(q_tile, row_chunk)`` (and of 128 for lane-clean score stripes);
+    :func:`long_megablock_pad` computes it.
+    """
+    d = num_heads * head_dim
+    mlp_dim = blk["fc1"]["w_int8"].shape[1]
+    args = (
+        _gemm_rows(blk["qkv"], d, 3 * d),
+        _gemm_rows(blk["proj"], d, d),
+        _gemm_rows(blk["fc1"], d, mlp_dim),
+        _gemm_rows(blk["fc2"], mlp_dim, d),
+        (
+            _row(blk["norm2"]["scale"], d), _row(blk["norm2"]["bias"], d),
+            _row(next_ln["scale"], d), _row(next_ln["bias"], d),
+        ),
+    )
+    f32 = lambda v: jnp.asarray(v, jnp.float32).reshape(())  # noqa: E731
+    qs = jnp.stack([
+        f32(blk["norm1"]["out_q"]["scale"]),
+        f32(blk["norm1"]["out_q"]["zero_point"]),
+        1.0 / f32(blk["qkv"]["out_q"]["scale"]),
+        f32(blk["qkv"]["out_q"]["zero_point"]),
+        f32(blk["qkv"]["out_q"]["scale"]),
+        f32(blk["qkv"]["out_q"]["zero_point"]),
+        1.0 / f32(blk["norm2"]["out_q"]["scale"]),
+        f32(blk["norm2"]["out_q"]["zero_point"]),
+        1.0 / f32(blk["gelu_q"]["scale"]),
+        f32(blk["gelu_q"]["zero_point"]),
+        1.0 / f32(next_ln["out_q"]["scale"]),
+        f32(next_ln["out_q"]["zero_point"]),
+    ]).reshape(1, 12)
+    n_pad = zq.shape[1]
+    assert n_pad % q_tile == 0 and n_pad % row_chunk == 0, (
+        n_pad, q_tile, row_chunk,
+    )
+    return _run_long_block(
+        zq, x, args, qs, num_heads=num_heads, head_dim=head_dim,
+        mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid, q_tile=q_tile,
+        row_chunk=row_chunk, interpret=interpret,
+    )
+
+
+def long_megablock_pad(n: int, q_tile: int, row_chunk: int) -> int:
+    import math
+
+    m = math.lcm(q_tile, row_chunk, _LANE)
+    return -(-n // m) * m
+
+
+def long_megablock_shapes_ok(num_heads: int, head_dim: int) -> bool:
+    """Same shape precondition as the q-tiled attention kernel: any head
+    count; the head dim must be a clean VMEM minor dim."""
+    del num_heads
+    return head_dim <= _LANE and head_dim % 8 == 0
+
+
+def long_megablock_available(num_heads: int, head_dim: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and long_megablock_shapes_ok(num_heads, head_dim)
+    )

@@ -284,6 +284,13 @@ def _fused_blocks(
     )
     from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
 
+    if mode.startswith("megablock_long"):
+        parts = mode.split(":")
+        tq = int(parts[1]) if len(parts) > 1 and parts[1] else 256
+        rc = int(parts[2]) if len(parts) > 2 and parts[2] else 256
+        return _megablock_long_stack(
+            qp, x, cfg, compute_dtype=compute_dtype, q_tile=tq, row_chunk=rc,
+        )
     if mode.startswith("megablock"):
         parts = mode.split(":")
         bb = int(parts[1]) if len(parts) > 1 and parts[1] else 4
@@ -295,8 +302,8 @@ def _fused_blocks(
     _MODES = ("pallas", "mixed", "mixed_qkv", "mixed_fc1", "mixed_none")
     if mode not in _MODES:
         raise ValueError(
-            f"unknown fused mode {mode!r}; expected one of {_MODES} or "
-            "'megablock[:BLOCK_B[:tight]]'"
+            f"unknown fused mode {mode!r}; expected one of {_MODES}, "
+            "'megablock[:BLOCK_B[:tight]]', or 'megablock_long[:TQ[:RC]]'"
         )
 
     h_heads, hd = cfg.num_heads, cfg.head_dim
@@ -478,6 +485,72 @@ def _megablock_stack(
             zq, x, blk, nxt,
             num_heads=cfg.num_heads, head_dim=cfg.head_dim, eps=eps,
             n_valid=n, block_b=block_b, interpret=interpret,
+        )
+
+    hq = qp["norm"]["out_q"]
+    logits = int8_matmul_xla(
+        zq[:, 0],
+        qp["head"]["w_int8"],
+        x_scale=hq["scale"],
+        x_zero_point=hq["zero_point"],
+        w_scale=qp["head"]["w_scale"],
+        w_colsum=qp["head"]["w_colsum"],
+        bias=qp["head"].get("bias"),
+        out_dtype=jnp.float32,
+    )
+    return logits.astype(jnp.float32)
+
+
+def _megablock_long_stack(
+    qp: Dict[str, Any],
+    x: jnp.ndarray,  # [B, N, D] float residual stream after patch embed
+    cfg: ViTConfig,
+    *,
+    compute_dtype=jnp.bfloat16,
+    q_tile: int = 256,
+    row_chunk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Long-sequence whole-block Pallas kernels chained call→call.
+
+    The long-sequence counterpart of :func:`_megablock_stack`
+    (ops/long_block_kernel.py): grid over images, q-striped attention, row-
+    chunked GEMM phases — for geometries whose scores can't sit whole in VMEM
+    (OWLv2's 2305 tokens) or whose width isn't slab-alignable (9 heads x 64).
+    In-kernel activation is exact quick-GELU or tanh-GELU."""
+    from qat_vit_tpu.ops.long_block_kernel import (
+        long_block_forward,
+        long_megablock_pad,
+    )
+    from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
+
+    if cfg.act not in ("gelu", "quick_gelu"):
+        raise NotImplementedError(
+            f"megablock_long computes the activation in-kernel; act="
+            f"{cfg.act!r} models need the exact path"
+        )
+    eps = cfg.layer_norm_eps
+    b, n, d = x.shape
+    n_pad = long_megablock_pad(n, q_tile, row_chunk)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    x = x.astype(compute_dtype)
+
+    blk0 = qp["blocks"]["0"]
+    zq = _ln_quantize_xla(x, blk0["norm1"], blk0["norm1"]["out_q"], eps)
+
+    for i in range(cfg.depth):
+        blk = qp["blocks"][str(i)]
+        nxt = (
+            qp["blocks"][str(i + 1)]["norm1"]
+            if i + 1 < cfg.depth
+            else qp["norm"]
+        )
+        x, zq = long_block_forward(
+            zq, x, blk, nxt,
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim, act=cfg.act,
+            eps=eps, n_valid=n, q_tile=q_tile, row_chunk=row_chunk,
+            interpret=interpret,
         )
 
     hq = qp["norm"]["out_q"]

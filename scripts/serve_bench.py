@@ -213,6 +213,14 @@ def main():
         bench(mode, lambda qp, x, m=mode: int8_apply(
             qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
             fused=m))
+    # long-sequence whole-block kernel (ops/long_block_kernel.py):
+    # megablock_long:Q_TILE:ROW_CHUNK
+    for mode in ("megablock_long", "megablock_long:128:256",
+                 "megablock_long:256:512", "megablock_long:512:256",
+                 "megablock_long:128:128", "megablock_long:256:128"):
+        bench(mode, lambda qp, x, m=mode: int8_apply(
+            qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+            fused=m))
 
     def blocks_only(qp, x):
         # the 12 megablock kernels alone (no patch embed / entry LN / head):

@@ -200,6 +200,75 @@ class TestMegablock:
         )
 
 
+class TestLongMegablock:
+    def test_quick_gelu_matches_exact(self):
+        """The long-sequence whole-block kernel (ops/long_block_kernel.py)
+        reproduces the exact serving forward on a CLIP-style tower
+        (pre-norm, quick-GELU computed exactly in-kernel): identical argmax,
+        close logits (bf16 residual stream is its numerics profile).
+        q_tile=64 / row_chunk=32 force >1 stripe and >1 chunk per image at
+        the 17-token micro geometry (n_pad 128)."""
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=3)
+        base = int8_apply(qp, x, cfg)  # exact path: quick-GELU in f32
+        with pltpu.force_tpu_interpret_mode():
+            out = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                             fused="megablock_long:64:32")
+        assert (base.argmax(-1) == out.argmax(-1)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), rtol=0.05, atol=0.05
+        )
+
+    def test_lane_misaligned_gelu_matches_exact(self):
+        """Lane-misaligned width (3 heads x 64 = 192 — the same misalignment
+        class as OWLv2-pruned's 9x64=576) with plain tanh-GELU and a
+        non-pre-norm stack."""
+        import flax.linen as nn
+
+        from qat_vit_tpu.models.registry import _vit_factory
+        from qat_vit_tpu.serve.int8_vit import convert_vit, int8_apply
+
+        arch = dict(embed_dim=192, depth=2, num_heads=3, image_size=32,
+                    patch_size=8)
+        m = _vit_factory(arch, "vit_misaligned_micro")(
+            num_classes=10, qat_wrapper=True
+        )
+        rng = np.random.default_rng(3)
+        v = nn.meta.unbox(
+            m.module.init(jax.random.key(0), m.example_input(1),
+                          observe=False)
+        )
+        x = jnp.asarray(
+            rng.normal(size=(3,) + m.example_input(1).shape[1:]).astype(
+                np.float32
+            )
+        )
+        _, mut = m.module.apply(
+            {"params": v["params"], "quant_stats": v["quant_stats"]},
+            x, observe=True, mutable=["quant_stats"],
+        )
+        qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
+        base = int8_apply(qp, x, m.cfg, gelu_approx=True)
+        with pltpu.force_tpu_interpret_mode():
+            out = int8_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
+                             fused="megablock_long:64:64")
+        assert (base.argmax(-1) == out.argmax(-1)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), rtol=0.05, atol=0.05
+        )
+
+    def test_unsupported_act_raises(self):
+        import dataclasses
+
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=2)
+        with pytest.raises(NotImplementedError):
+            int8_apply(qp, x, dataclasses.replace(cfg, act="relu"),
+                       fused="megablock_long")
+
+
 class TestFusedAttention:
     def test_matches_xla_einsum(self):
         from qat_vit_tpu.ops.flash_attention import (
