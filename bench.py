@@ -295,17 +295,23 @@ def main() -> None:
     float(jax.jit(lambda x: x + 1.0)(_jnp.zeros(())))  # tunnel liveness probe
     print("[bench] device up", file=sys.stderr, flush=True)
 
-    train_ips_f32, _ = bench_qat_train(cache_teacher=True)
-    train_ips_full, _ = bench_qat_train(cache_teacher=False)
+    def spread(pair):
+        # {min, median, n} per metric (min is the tunnel-noise filter and the
+        # headline; median guards against min flattering a hiccupy tunnel)
+        mn, med = pair
+        return {"min": round(mn, 1), "median": round(med, 1), "n": REPEATS}
+
+    train_f32 = bench_qat_train(cache_teacher=True)
+    train_full = bench_qat_train(cache_teacher=False)
     # the DEFAULT config since round 2: qat_amp bf16 (full-scale evidence in
     # docs/BENCHMARKS.md — equal accuracy, int8 within 0.01% of QAT)
-    train_ips, train_ips_med = bench_qat_train(
-        cache_teacher=True, qat_dtype=_jnp.bfloat16
-    )
+    train = bench_qat_train(cache_teacher=True, qat_dtype=_jnp.bfloat16)
+    train_ips = train[0]
     try:
-        infer_ips, infer_ips_med = bench_int8_infer()
+        infer = bench_int8_infer()
+        infer_ips = infer[0]
     except Exception as e:  # int8 extras must not sink the headline number
-        infer_ips = infer_ips_med = None
+        infer = infer_ips = None
 
         print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
     result = {
@@ -315,13 +321,12 @@ def main() -> None:
         "vs_baseline": round(train_ips / BASELINE_QAT_TRAIN_IMGS_PER_SEC, 2),
         "extras": {
             "int8_infer_imgs_per_sec": round(infer_ips, 1) if infer_ips else None,
-            # medians over the 3 repeats (min is the headline; median guards
-            # against min flattering a hiccupy tunnel)
-            "qat_train_imgs_per_sec_median": round(train_ips_med, 1),
-            "int8_infer_imgs_per_sec_median": round(infer_ips_med, 1)
-            if infer_ips_med else None,
-            "qat_train_imgs_per_sec_teacher_every_step": round(train_ips_full, 1),
-            "qat_train_imgs_per_sec_f32_strict_parity": round(train_ips_f32, 1),
+            "qat_train_spread": spread(train),
+            "int8_infer_spread": spread(infer) if infer else None,
+            "teacher_every_step_spread": spread(train_full),
+            "f32_strict_parity_spread": spread(train_f32),
+            "qat_train_imgs_per_sec_teacher_every_step": round(train_full[0], 1),
+            "qat_train_imgs_per_sec_f32_strict_parity": round(train_f32[0], 1),
             "train_batch": TRAIN_BATCH,
             "infer_batch": INFER_BATCH,
             "train_steps_timed": TRAIN_STEPS,

@@ -79,6 +79,8 @@ def evaluate_checkpoint(
     limit_batches: int = 0,
     num_classes: int = 10,
     qat_backend: str = "qnnpack",
+    serving: str = "exact",
+    image_size: int = 0,
 ) -> float:
     """Create → load → evaluate (reference evaluate_checkpoint,
     evaluator.py:59-101), with tolerant loading via checkpoint templates.
@@ -88,6 +90,16 @@ def evaluate_checkpoint(
     different activation ranges (qnnpack [0,255], fbgemm [0,127]), and the
     loaded min/max stats would otherwise silently produce scales on the
     wrong grid.
+
+    ``serving`` picks the int8 forward: ``"exact"`` (f32, the conservative
+    parity path — the default everywhere accuracy is reported) or
+    ``"preset"`` (:func:`~qat_vit_tpu.serve.int8_vit.serving_preset` — the
+    measured-best kernel path, for accuracy-neutrality cross-checks of the
+    production serving configuration, docs/BENCHMARKS.md).
+
+    ``image_size`` overrides the registry default so checkpoints trained at
+    reduced resolution (trainer ``--image-size``) remain evaluable; 0 keeps
+    the model's native size.
     """
     quantized = qat_wrapper or int8
     from qat_vit_tpu.quant.qconfig import default_qat_qconfig
@@ -95,6 +107,7 @@ def evaluate_checkpoint(
     bundle: ModelBundle = create_model(
         model_name, num_classes=num_classes, qat_wrapper=quantized,
         **({"quant": default_qat_qconfig(qat_backend)} if quantized else {}),
+        **({"image_size": image_size} if image_size else {}),
     )
     cfg = bundle.cfg
     loader = build_cifar10_loader(data_dir, batch_size, limit_batches)
@@ -104,7 +117,15 @@ def evaluate_checkpoint(
             raise ValueError("int8 evaluation requires --ckpt (best_converted)")
         qp = load_checkpoint(ckpt_path)
         qp = _restore_int8_types(qp)
-        fwd = make_int8_forward(cfg)
+        if serving not in ("exact", "preset"):
+            raise ValueError(f"serving must be 'exact' or 'preset', got "
+                             f"{serving!r}")
+        opts = {}
+        if serving == "preset":
+            from qat_vit_tpu.serve.int8_vit import serving_preset
+
+            opts = serving_preset(cfg)
+        fwd = make_int8_forward(cfg, **opts)
         correct = total = 0
         bs = loader.batch_size
         for batch in loader:
@@ -160,11 +181,18 @@ def main(argv=None) -> None:
                    choices=("qnnpack", "fbgemm"),
                    help="backend the checkpoint was trained with "
                         "(see effective_hparams.yaml)")
+    p.add_argument("--serving", default="exact", choices=("exact", "preset"),
+                   help="int8 forward: exact f32 parity path or the "
+                        "measured-best kernel preset (--int8 only)")
+    p.add_argument("--image-size", type=int, default=0,
+                   help="override the model's native resolution (match the "
+                        "trainer's --image-size; 0 = native)")
     args = p.parse_args(argv)
     acc = evaluate_checkpoint(
         args.model, args.ckpt, qat_wrapper=args.qat_wrapper, int8=args.int8,
         data_dir=args.data_dir, batch_size=args.batch_size,
         limit_batches=args.limit_batches, qat_backend=args.qat_backend,
+        serving=args.serving, image_size=args.image_size,
     )
     print(f"top1_acc={acc:.4f}")
 

@@ -75,14 +75,40 @@ def _long_block_kernel(
     # outputs
     xout_ref, zqout_ref,
     # scratch
-    qkv_scr, o_scr,
+    qkv_scr, o_scr, qk8_scr,
     *, num_heads, head_dim, mlp_dim, act, eps, n_valid, q_tile, row_chunk,
+    phases=("qkv", "attn", "mlp"), stripe_unroll=1, chunk_unroll=1,
+    int8_scores=False,
 ):
+    # ``phases`` is a measurement-only ablation knob (scripts/long_block
+    # probes): dropping a phase makes the numerics garbage but isolates that
+    # phase's cost on-chip. Production callers never pass it.
     d = num_heads * head_dim
     n_pad = zq_ref.shape[1]
     scale = head_dim**-0.5
     n_chunks = n_pad // row_chunk
     n_stripes = n_pad // q_tile
+
+    def _grouped(n, unroll, body):
+        # Mosaic's fori_loop only supports rolled or fully-unrolled; partial
+        # unroll (grouping ``unroll`` independent iterations per loop step so
+        # the dataflow scheduler can overlap their MXU/VPU work) is done by
+        # hand here. ``unroll`` must divide the trip count.
+        if unroll <= 1:
+            jax.lax.fori_loop(0, n, body, 0, unroll=False)
+            return
+        assert n % unroll == 0, (n, unroll)
+
+        def group(j, _):
+            for t in range(unroll):
+                body(j * unroll + t, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n // unroll, group, 0, unroll=False)
+    # keys/values beyond n_valid are masked out of every softmax, so the
+    # score/pv dots only need the 128-lane-aligned key prefix — exact, and
+    # drops the (n_pad - n_kpad) padding columns' O(N^2) work
+    n_kpad = min(-(-n_valid // _LANE) * _LANE, n_pad)
 
     s1 = qs_ref[0, 0]
     z1 = qs_ref[0, 1].astype(jnp.int32)
@@ -103,26 +129,56 @@ def _long_block_kernel(
         acc = jnp.dot(rows, wqkv_ref[:], preferred_element_type=jnp.int32)
         y = _dequant(acc, cs_qkv_ref, ws_qkv_ref, b_qkv_ref, s1, z1 - 128)
         qkv_scr[pl.ds(c * row_chunk, row_chunk), :] = y.astype(qkv_scr.dtype)
+        if int8_scores:
+            # q,k on the qkv out_q int8 grid (the fake-quant site the QAT
+            # graph trains through) — feeds the int8 score dot in phase 2
+            qk8_scr[pl.ds(c * row_chunk, row_chunk), :] = _q8(
+                y[:, : 2 * d], inv_so, zp_o)
         return _
 
-    jax.lax.fori_loop(0, n_chunks, qkv_chunk, 0, unroll=False)
+    if "qkv" in phases:
+        _grouped(n_chunks, chunk_unroll, qkv_chunk)
 
     # ---- phase 2: q-striped attention per head, into the f32 o scratch ----
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, n_pad), dimension=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, n_kpad), dimension=1)
     key_mask = col < n_valid
-    for h in range(num_heads):
+    zq8 = z_o - 128  # qkv out_q zero point on the shifted-int8 grid
+    for h in range(num_heads if "attn" in phases else 0):
         qo, ko, vo = h * head_dim, d + h * head_dim, 2 * d + h * head_dim
         # one O(N*hd) lane-slice per head; resident across all q stripes
-        k_h = qkv_scr[:, ko : ko + head_dim]
-        v_h = qkv_scr[:, vo : vo + head_dim]
+        v_h = qkv_scr[:n_kpad, vo : vo + head_dim]
+        if int8_scores:
+            k8_h = qk8_scr[:n_kpad, ko : ko + head_dim]
+            # key-side affine correction row for the int8 dot (see stripe)
+            rsk = jnp.sum(k8_h.astype(jnp.int32), axis=1).reshape(1, n_kpad)
+            k_h = None
+        else:
+            k_h = qkv_scr[:n_kpad, ko : ko + head_dim]
+            k8_h = rsk = None
 
-        def stripe(i, _, k_h=k_h, v_h=v_h, qo=qo, h=h):
-            q = qkv_scr[pl.ds(i * q_tile, q_tile), qo : qo + head_dim]
-            s = jax.lax.dot_general(
-                q * jnp.asarray(scale, q.dtype), k_h,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [q_tile, n_pad]
+        def stripe(i, _, k_h=k_h, v_h=v_h, k8_h=k8_h, rsk=rsk, qo=qo, h=h):
+            if int8_scores:
+                # exact on the int8 grid: x = s_o (q8 - z'), so
+                # (x_q . x_k) = s_o^2 (q8.k8 - z'(rowsum_q + rowsum_k)
+                #                      + hd z'^2); int8xint8 dots run the MXU
+                # at 2x the bf16 rate, halving the K=64-bound score cost
+                q8 = qk8_scr[pl.ds(i * q_tile, q_tile), qo : qo + head_dim]
+                acc = jax.lax.dot_general(
+                    q8, k8_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # [q_tile, n_kpad]
+                rsq = jnp.sum(q8.astype(jnp.int32), axis=1, keepdims=True)
+                corr = acc - zq8 * (rsq + rsk) + head_dim * zq8 * zq8
+                s = corr.astype(jnp.float32) * (s_o * s_o
+                                                * jnp.float32(scale))
+            else:
+                q = qkv_scr[pl.ds(i * q_tile, q_tile), qo : qo + head_dim]
+                s = jax.lax.dot_general(
+                    q * jnp.asarray(scale, q.dtype), k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [q_tile, n_kpad]
             s = jnp.where(key_mask, s, jnp.float32(-1e30))
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
@@ -131,7 +187,10 @@ def _long_block_kernel(
             o_scr[pl.ds(i * q_tile, q_tile), h * head_dim : (h + 1) * head_dim] = o
             return _
 
-        jax.lax.fori_loop(0, n_stripes, stripe, 0, unroll=False)
+        # unrolling exposes independent stripes to Mosaic's dataflow
+        # scheduler: stripe i's softmax (VPU) can overlap stripe i+1's score
+        # dot (MXU)
+        _grouped(n_stripes, stripe_unroll, stripe)
 
     # ---- phase 3: proj(+res+LN2+q) -> fc1(+act+q) -> fc2(+res+LN'+q), ------
     # row-chunked: each chunk's int32/f32 MLP temporaries die before the next
@@ -159,17 +218,23 @@ def _long_block_kernel(
                                     inv_sn, zp_n)
         return _
 
-    jax.lax.fori_loop(0, n_chunks, mlp_chunk, 0, unroll=False)
+    if "mlp" in phases:
+        _grouped(n_chunks, chunk_unroll, mlp_chunk)
+    else:  # keep outputs written so the chained stack stays well-defined
+        xout_ref[0, :, :] = x_ref[0, :, :]
+        zqout_ref[0, :, :] = zq_ref[0, :, :]
 
 
 @partial(
     jax.jit,
     static_argnames=("num_heads", "head_dim", "mlp_dim", "act", "eps",
-                     "n_valid", "q_tile", "row_chunk", "interpret"),
+                     "n_valid", "q_tile", "row_chunk", "interpret", "phases",
+                     "stripe_unroll", "chunk_unroll", "int8_scores"),
 )
 def _run_long_block(
     zq, x, args, qs, *, num_heads, head_dim, mlp_dim, act, eps, n_valid,
-    q_tile, row_chunk, interpret
+    q_tile, row_chunk, interpret, phases=("qkv", "attn", "mlp"),
+    stripe_unroll=1, chunk_unroll=1, int8_scores=False
 ):
     b, n_pad, d = zq.shape
     tile = lambda r: pl.BlockSpec(  # noqa: E731
@@ -195,7 +260,9 @@ def _run_long_block(
         partial(
             _long_block_kernel, num_heads=num_heads, head_dim=head_dim,
             mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid,
-            q_tile=q_tile, row_chunk=row_chunk,
+            q_tile=q_tile, row_chunk=row_chunk, phases=phases,
+            stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
+            int8_scores=int8_scores,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
@@ -208,6 +275,9 @@ def _run_long_block(
             scratch_shapes=[
                 pltpu.VMEM((n_pad, 3 * d), jnp.bfloat16),  # packed qkv
                 pltpu.VMEM((n_pad, d), jnp.float32),  # attention output
+                # int8 q,k for the int8 score dot (written/read only when
+                # int8_scores; a dormant ~3 MB otherwise)
+                pltpu.VMEM((n_pad, 2 * d), jnp.int8),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -244,6 +314,10 @@ def long_block_forward(
     q_tile: int = 256,
     row_chunk: int = 256,
     interpret: bool = False,
+    phases: Tuple[str, ...] = ("qkv", "attn", "mlp"),
+    stripe_unroll: int = 1,
+    chunk_unroll: int = 1,
+    int8_scores: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full long-sequence ViT block in one Pallas call.
 
@@ -285,7 +359,9 @@ def long_block_forward(
     return _run_long_block(
         zq, x, args, qs, num_heads=num_heads, head_dim=head_dim,
         mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid, q_tile=q_tile,
-        row_chunk=row_chunk, interpret=interpret,
+        row_chunk=row_chunk, interpret=interpret, phases=phases,
+        stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
+        int8_scores=int8_scores,
     )
 
 

@@ -285,11 +285,17 @@ def _fused_blocks(
     from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
 
     if mode.startswith("megablock_long"):
+        # megablock_long[:TQ[:RC[:flags...]]] — flags: i8 (int8 score dots),
+        # suN / cuN (stripe / chunk unroll)
         parts = mode.split(":")
         tq = int(parts[1]) if len(parts) > 1 and parts[1] else 256
         rc = int(parts[2]) if len(parts) > 2 and parts[2] else 256
+        flags = parts[3:]
+        su = next((int(f[2:]) for f in flags if f.startswith("su")), 1)
+        cu = next((int(f[2:]) for f in flags if f.startswith("cu")), 1)
         return _megablock_long_stack(
             qp, x, cfg, compute_dtype=compute_dtype, q_tile=tq, row_chunk=rc,
+            int8_scores="i8" in flags, stripe_unroll=su, chunk_unroll=cu,
         )
     if mode.startswith("megablock"):
         parts = mode.split(":")
@@ -510,6 +516,9 @@ def _megablock_long_stack(
     q_tile: int = 256,
     row_chunk: int = 256,
     interpret: bool = False,
+    int8_scores: bool = False,
+    stripe_unroll: int = 1,
+    chunk_unroll: int = 1,
 ) -> jnp.ndarray:
     """Long-sequence whole-block Pallas kernels chained call→call.
 
@@ -550,7 +559,8 @@ def _megablock_long_stack(
             zq, x, blk, nxt,
             num_heads=cfg.num_heads, head_dim=cfg.head_dim, act=cfg.act,
             eps=eps, n_valid=n, q_tile=q_tile, row_chunk=row_chunk,
-            interpret=interpret,
+            interpret=interpret, int8_scores=int8_scores,
+            stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
         )
 
     hq = qp["norm"]["out_q"]

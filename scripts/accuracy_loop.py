@@ -155,11 +155,21 @@ def phase_report(workdir: str, data_dir: str, teacher_ckpt: str,
             "vit_small_patch16_224_student", quant_ckpt, data_dir=data_dir,
             int8=True,
         )
+        # production-kernel cross-check: the same export served through
+        # serving_preset (megablock path on TPU) must match the exact f32
+        # serving path — accuracy-neutrality evidence per trained checkpoint
+        # (docs/BENCHMARKS.md "Accuracy of the fast path")
+        int8_preset = evaluate_checkpoint(
+            "vit_small_patch16_224_student", quant_ckpt, data_dir=data_dir,
+            int8=True, serving="preset",
+        )
         last = summary["epochs"][-1]
         report["variants"][tag] = {
             "fp32_top1": fp32, "fakequant_top1": fq, "int8_top1": int8,
+            "int8_preset_top1": int8_preset,
             "trainer_last_epoch": last,
             "int8_minus_fakequant": int8 - fq,
+            "preset_minus_exact": int8_preset - int8,
         }
     with open(os.path.join(workdir, "REPORT.json"), "w") as f:
         json.dump(report, f, indent=1)
@@ -197,13 +207,14 @@ def phase_report(workdir: str, data_dir: str, teacher_ckpt: str,
         " legitimately equals fp32 (uncalibrated observers are identity).",
         "",
         "| variant | fp32 (bare) | fake-quant (best ckpt) | int8 (converted)"
-        " | int8 − best-ckpt |",
-        "|---|---|---|---|---|",
+        " | int8 − best-ckpt | int8 preset-kernel | preset − exact |",
+        "|---|---|---|---|---|---|---|",
     ]
     for tag, v in report["variants"].items():
         lines.append(
             f"| {tag} | {v['fp32_top1']:.4f} | {v['fakequant_top1']:.4f} "
-            f"| {v['int8_top1']:.4f} | {v['int8_minus_fakequant']:+.4f} |"
+            f"| {v['int8_top1']:.4f} | {v['int8_minus_fakequant']:+.4f} "
+            f"| {v['int8_preset_top1']:.4f} | {v['preset_minus_exact']:+.4f} |"
         )
     md = "\n".join(lines) + "\n"
     with open(os.path.join(workdir, "REPORT.md"), "w") as f:

@@ -258,6 +258,36 @@ class TestLongMegablock:
             np.asarray(out), np.asarray(base), rtol=0.05, atol=0.05
         )
 
+    def test_int8_scores_matches_exact(self):
+        """int8 score dots (q,k quantized onto the qkv out_q grid — the
+        fake-quant site the QAT graph trains through) still argmax-agree
+        with the exact path; affine-correction math is exact on that grid."""
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=3)
+        base = int8_apply(qp, x, cfg)
+        with pltpu.force_tpu_interpret_mode():
+            out = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                             fused="megablock_long:64:32:i8")
+        assert (base.argmax(-1) == out.argmax(-1)).all()
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), rtol=0.06, atol=0.06
+        )
+
+    def test_unroll_flags_bit_identical(self):
+        """Stripe/chunk unrolling is a pure scheduling knob: outputs must be
+        BIT-identical to the rolled kernel."""
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=2)
+        with pltpu.force_tpu_interpret_mode():
+            rolled = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                fused="megablock_long:64:32")
+            unrolled = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                  fused="megablock_long:64:32:su2:cu2")
+        np.testing.assert_array_equal(np.asarray(rolled),
+                                      np.asarray(unrolled))
+
     def test_unsupported_act_raises(self):
         import dataclasses
 
