@@ -62,23 +62,20 @@ def _ln(y, g_ref, b_ref, eps):
     return (y - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
 
 
-def _block_kernel(
-    # activations
-    zq_ref, x_ref,
-    # qkv / proj / fc1 / fc2 weight panels (+colsum rows fused into *_cs)
-    wqkv_ref, cs_qkv_ref, b_qkv_ref, ws_qkv_ref,
-    wproj_ref, cs_proj_ref, b_proj_ref, ws_proj_ref,
-    wfc1_ref, cs_fc1_ref, b_fc1_ref, ws_fc1_ref,
-    wfc2_ref, cs_fc2_ref, b_fc2_ref, ws_fc2_ref,
-    # LayerNorm parameter rows
-    g2_ref, b2_ref, gn_ref, bn_ref,
-    # packed scalar quantization params (SMEM)
-    qs_ref,
-    # outputs
-    xout_ref, zqout_ref,
+def _block_tile_body(
+    zq, x, w, qs,
     *, num_heads, head_dim, eps, n_valid, block_b,
 ):
-    """qs_ref layout (f32, [1, 12]):
+    """One ViT block over one [block_b, n_pad, d] activation tile, as pure
+    VMEM-value dataflow — shared by the per-block kernel (`_block_kernel`)
+    and the whole-model kernel (`_model_kernel`).
+
+    ``w``: dict of materialized weight/param arrays — ``wqkv/cs_qkv/b_qkv/
+    ws_qkv`` (+ proj/fc1/fc2 triples) and LN rows ``g2/b2/gn/bn``.
+    ``qs``: 12 scalars (already read out of SMEM by the caller — the
+    per-block kernel reads row 0 of its [1, 12] ref, the whole-model kernel
+    row ``j`` of the full [depth, 12] ref; Mosaic rejects depth-BLOCKED SMEM
+    specs, so the whole array rides along and rows are indexed dynamically):
     0 s_ln1    input scale (zq's qparams)          1 z_ln1   input zero-point
     2 inv_so   1/scale of qkv out_q (o quantize)   3 zp_o    its zero-point
     4 s_o      qkv out_q scale (proj dequant)      5 z_o     its zero-point
@@ -86,28 +83,30 @@ def _block_kernel(
     8 s_2/z_2 are 6,7's scale: s_2 = 1/inv_s2 (recomputed); slot 8 = inv_sg
     9 zp_g     gelu_q zero-point
     10 inv_sn  1/scale of next-LN out_q            11 zp_n   its zero-point
+
+    Returns ``(x_out, zq_out)`` as [block_b, n_pad, d] arrays.
     """
     d = num_heads * head_dim
-    n_pad = zq_ref.shape[1]
+    n_pad = zq.shape[1]
     scale = head_dim**-0.5
 
-    s1 = qs_ref[0, 0]
-    z1 = qs_ref[0, 1].astype(jnp.int32)
-    inv_so = qs_ref[0, 2]
-    zp_o = qs_ref[0, 3]
-    s_o = qs_ref[0, 4]
-    z_o = qs_ref[0, 5].astype(jnp.int32)
-    inv_s2 = qs_ref[0, 6]
-    zp_2 = qs_ref[0, 7]
-    inv_sg = qs_ref[0, 8]
-    zp_g = qs_ref[0, 9]
-    inv_sn = qs_ref[0, 10]
-    zp_n = qs_ref[0, 11]
+    s1 = qs[0]
+    z1 = qs[1].astype(jnp.int32)
+    inv_so = qs[2]
+    zp_o = qs[3]
+    s_o = qs[4]
+    z_o = qs[5].astype(jnp.int32)
+    inv_s2 = qs[6]
+    zp_2 = qs[7]
+    inv_sg = qs[8]
+    zp_g = qs[9]
+    inv_sn = qs[10]
+    zp_n = qs[11]
 
     # ---- qkv GEMM over the whole tile: [bb*n, d] @ [d, 3d] ----------------
-    zq2d = zq_ref[:].reshape(block_b * n_pad, d)
-    acc = jnp.dot(zq2d, wqkv_ref[:], preferred_element_type=jnp.int32)
-    qkv = _dequant(acc, cs_qkv_ref, ws_qkv_ref, b_qkv_ref, s1, z1 - 128)
+    zq2d = zq.reshape(block_b * n_pad, d)
+    acc = jnp.dot(zq2d, w["wqkv"], preferred_element_type=jnp.int32)
+    qkv = _dequant(acc, w["cs_qkv"], w["ws_qkv"], w["b_qkv"], s1, z1 - 128)
     qkv = qkv.reshape(block_b, n_pad, 3 * d).astype(jnp.bfloat16)
 
     # ---- attention (group-masked, batched softmax), int8 proj input ------
@@ -163,27 +162,60 @@ def _block_kernel(
     o_q = _q8(jnp.stack(o_rows).reshape(block_b * n_pad, d), inv_so, zp_o)
 
     # ---- proj GEMM + residual -> x_mid; LN2 -> int8 fc1 input ------------
-    acc = jnp.dot(o_q, wproj_ref[:], preferred_element_type=jnp.int32)
-    p_out = _dequant(acc, cs_proj_ref, ws_proj_ref, b_proj_ref, s_o, z_o - 128)
-    x_mid = x_ref[:].reshape(block_b * n_pad, d).astype(jnp.float32) + p_out
-    zq2 = _q8(_ln(x_mid, g2_ref, b2_ref, eps), inv_s2, zp_2)
+    acc = jnp.dot(o_q, w["wproj"], preferred_element_type=jnp.int32)
+    p_out = _dequant(acc, w["cs_proj"], w["ws_proj"], w["b_proj"], s_o,
+                     z_o - 128)
+    x_mid = x.reshape(block_b * n_pad, d).astype(jnp.float32) + p_out
+    zq2 = _q8(_ln(x_mid, w["g2"], w["b2"], eps), inv_s2, zp_2)
 
     # ---- fc1 GEMM + GELU -> int8 fc2 input --------------------------------
     s_2 = 1.0 / inv_s2
     z_2 = zp_2.astype(jnp.int32)
-    acc = jnp.dot(zq2, wfc1_ref[:], preferred_element_type=jnp.int32)
-    f1 = _dequant(acc, cs_fc1_ref, ws_fc1_ref, b_fc1_ref, s_2, z_2 - 128)
+    acc = jnp.dot(zq2, w["wfc1"], preferred_element_type=jnp.int32)
+    f1 = _dequant(acc, w["cs_fc1"], w["ws_fc1"], w["b_fc1"], s_2, z_2 - 128)
     g_q = _q8(jax.nn.gelu(f1, approximate=True), inv_sg, zp_g)
 
     # ---- fc2 GEMM + residual -> x'; next-block LN1 -> int8 ----------------
     s_g = 1.0 / inv_sg
     z_g = zp_g.astype(jnp.int32)
-    acc = jnp.dot(g_q, wfc2_ref[:], preferred_element_type=jnp.int32)
-    f2 = _dequant(acc, cs_fc2_ref, ws_fc2_ref, b_fc2_ref, s_g, z_g - 128)
+    acc = jnp.dot(g_q, w["wfc2"], preferred_element_type=jnp.int32)
+    f2 = _dequant(acc, w["cs_fc2"], w["ws_fc2"], w["b_fc2"], s_g, z_g - 128)
     x_out = x_mid + f2
-    xout_ref[:] = x_out.reshape(block_b, n_pad, d).astype(xout_ref.dtype)
-    zq_out = _q8(_ln(x_out, gn_ref, bn_ref, eps), inv_sn, zp_n)
-    zqout_ref[:] = zq_out.reshape(block_b, n_pad, d)
+    zq_out = _q8(_ln(x_out, w["gn"], w["bn"], eps), inv_sn, zp_n)
+    return (
+        x_out.reshape(block_b, n_pad, d),
+        zq_out.reshape(block_b, n_pad, d),
+    )
+
+
+_W_KEYS = (
+    "wqkv", "cs_qkv", "b_qkv", "ws_qkv",
+    "wproj", "cs_proj", "b_proj", "ws_proj",
+    "wfc1", "cs_fc1", "b_fc1", "ws_fc1",
+    "wfc2", "cs_fc2", "b_fc2", "ws_fc2",
+    "g2", "b2", "gn", "bn",
+)
+
+
+def _block_kernel(
+    # activations
+    zq_ref, x_ref,
+    # qkv / proj / fc1 / fc2 weight panels (+colsum rows fused into *_cs),
+    # then LayerNorm parameter rows — _W_KEYS order
+    *refs,
+    num_heads, head_dim, eps, n_valid, block_b,
+):
+    qs_ref = refs[len(_W_KEYS)]
+    xout_ref, zqout_ref = refs[len(_W_KEYS) + 1 :]
+    w = {k: r[:] for k, r in zip(_W_KEYS, refs)}
+    qs = tuple(qs_ref[0, k] for k in range(12))
+    x_out, zq_out = _block_tile_body(
+        zq_ref[:], x_ref[:], w, qs,
+        num_heads=num_heads, head_dim=head_dim, eps=eps, n_valid=n_valid,
+        block_b=block_b,
+    )
+    xout_ref[:] = x_out.astype(xout_ref.dtype)
+    zqout_ref[:] = zq_out
 
 
 def _row(v, n):
@@ -322,6 +354,255 @@ def block_forward(
     x_out, zq_out = _run_block(
         zq, x, args, qs, num_heads=num_heads, head_dim=head_dim, eps=eps,
         n_valid=n_valid, block_b=block_b, interpret=interpret,
+    )
+    return x_out[:bb], zq_out[:bb]
+
+
+def _model_kernel(
+    zq_ref, x_ref,
+    *refs,
+    num_heads, head_dim, eps, n_valid, block_b, depth,
+):
+    """All ``depth`` blocks over one batch tile, one grid step per (tile,
+    block). The activation tile lives in the OUTPUT refs across the depth
+    loop (read-modify-write — Mosaic keeps revisited output blocks in VMEM
+    and flushes to HBM once, when the batch-tile index changes), while each
+    step's weight panels stream in depth-indexed blocks the grid pipeline
+    double-buffers: block j+1's weights prefetch during block j's compute.
+    Per forward, activations cross HBM exactly once each way — the 11
+    inter-block (x, zq) round-trips and call boundaries of the chained
+    per-block form are gone.
+    """
+    j = pl.program_id(1)
+    qs_ref = refs[len(_W_KEYS)]
+    xout_ref, zqout_ref = refs[len(_W_KEYS) + 1 :]
+
+    @pl.when(j == 0)
+    def _():
+        xout_ref[:] = x_ref[:]
+        zqout_ref[:] = zq_ref[:]
+
+    w = {k: r[0] for k, r in zip(_W_KEYS, refs)}
+    qs = tuple(qs_ref[j, k] for k in range(12))
+    x_out, zq_out = _block_tile_body(
+        zqout_ref[:], xout_ref[:], w, qs,
+        num_heads=num_heads, head_dim=head_dim, eps=eps, n_valid=n_valid,
+        block_b=block_b,
+    )
+    xout_ref[:] = x_out.astype(xout_ref.dtype)
+    zqout_ref[:] = zq_out
+
+
+def _model_resident_kernel(
+    zq_ref, x_ref,
+    *refs,
+    num_heads, head_dim, eps, n_valid, block_b, depth,
+):
+    """All ``depth`` blocks over one batch tile in ONE grid step: every
+    weight panel rides a grid-INVARIANT index map, so Mosaic fetches each
+    panel into VMEM once for the whole call (the streamed `_model_kernel`
+    refetches the full weight set per batch tile — ~1.4 GB/forward at
+    ViT-S batch 256), the depth loop is unrolled in-kernel, and the
+    activation tile is carried as VALUES between blocks. Per forward,
+    activations cross HBM once each way and weights once TOTAL. Needs the
+    whole model's int8 weights in VMEM (~21 MB for ViT-S) — gated by the
+    caller on geometry."""
+    qs_ref = refs[len(_W_KEYS)]
+    xout_ref, zqout_ref = refs[len(_W_KEYS) + 1 :]
+    x, zq = x_ref[:], zq_ref[:]
+    for j in range(depth):
+        w = {k: r[j] for k, r in zip(_W_KEYS, refs)}
+        qs = tuple(qs_ref[j, k] for k in range(12))
+        x, zq = _block_tile_body(
+            zq, x, w, qs,
+            num_heads=num_heads, head_dim=head_dim, eps=eps, n_valid=n_valid,
+            block_b=block_b,
+        )
+        # the chained/streamed forms round the residual stream to the
+        # stream dtype (bf16) at every block boundary; match for bit-identity
+        x = x.astype(x_ref.dtype)
+    xout_ref[:] = x.astype(xout_ref.dtype)
+    zqout_ref[:] = zq
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_heads", "head_dim", "eps", "n_valid", "block_b",
+                     "interpret"),
+)
+def _run_model_resident(
+    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, interpret
+):
+    bb, n_pad, d = zq.shape
+    depth = qs.shape[0]
+    tile = lambda r: pl.BlockSpec(  # noqa: E731
+        (block_b, n_pad, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    whole = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(d), tile(d)]
+    in_specs += [whole(a.shape) for a in args]
+    in_specs += [pl.BlockSpec((depth, 12), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    x_out, zq_out = pl.pallas_call(
+        partial(
+            _model_resident_kernel, num_heads=num_heads, head_dim=head_dim,
+            eps=eps, n_valid=n_valid, block_b=block_b, depth=depth,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bb, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((bb, n_pad, d), jnp.int8),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(bb // block_b,),
+            in_specs=in_specs,
+            out_specs=(tile(d), tile(d)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=depth * (2 * bb * n_pad * d * (3 * d + d + 8 * d)
+                           + 4 * bb * n_pad * n_pad * d * 2),
+            bytes_accessed=zq.size * 2 + x.size * 2 * x.dtype.itemsize
+            + sum(a.size for a in args),
+            transcendentals=depth * (bb * num_heads * n_pad * n_pad
+                                     + bb * n_pad * 4 * d),
+        ),
+        interpret=interpret,
+    )(zq, x, *args, qs)
+    return x_out, zq_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_heads", "head_dim", "eps", "n_valid", "block_b",
+                     "interpret"),
+)
+def _run_model(
+    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, interpret
+):
+    bb, n_pad, d = zq.shape
+    depth = qs.shape[0]
+    grid = (bb // block_b, depth)
+    tile = lambda r: pl.BlockSpec(  # noqa: E731
+        (block_b, n_pad, r), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    dstack = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(d), tile(d)]
+    in_specs += [dstack(a.shape[1:]) for a in args]
+    # Mosaic rejects depth-blocked SMEM specs (block dims must divide 8/128
+    # or equal the array's); the whole [depth, 12] table rides along and the
+    # kernel indexes row j dynamically.
+    in_specs += [pl.BlockSpec((depth, 12), lambda i, j: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    x_out, zq_out = pl.pallas_call(
+        partial(
+            _model_kernel, num_heads=num_heads, head_dim=head_dim, eps=eps,
+            n_valid=n_valid, block_b=block_b, depth=depth,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bb, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((bb, n_pad, d), jnp.int8),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(tile(d), tile(d)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # depth revisits the same output blocks and must run in order
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=depth * (2 * bb * n_pad * d * (3 * d + d + 8 * d)
+                           + 4 * bb * n_pad * n_pad * d * 2),
+            bytes_accessed=zq.size + x.size * 4
+            + sum(a.size for a in args[:1]) * depth,
+            transcendentals=depth * (bb * num_heads * n_pad * n_pad
+                                     + bb * n_pad * 4 * d),
+        ),
+        interpret=interpret,
+    )(zq, x, *args, qs)
+    return x_out, zq_out
+
+
+def model_forward(
+    zq: jnp.ndarray,  # [B, N_pad, D] shifted-int8 LN1 output of block 0
+    x: jnp.ndarray,  # [B, N_pad, D] bf16/f32 residual stream
+    blocks: Dict[str, Any],  # the convert_vit "blocks" tree (str(i) keys)
+    final_ln: Dict[str, Any],  # the model's final norm entry
+    *,
+    num_heads: int,
+    head_dim: int,
+    depth: int,
+    eps: float = 1e-6,
+    n_valid: int,
+    block_b: int = 4,
+    interpret: bool = False,
+    resident: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The ENTIRE transformer stack (all ``depth`` blocks) in ONE Pallas
+    call; returns (x_final, final-LN'd int8 rows for the head).
+
+    Per-depth weight panels are stacked on a leading depth axis and either
+    streamed by the grid pipeline (see `_model_kernel`) or, with
+    ``resident=True``, pinned whole in VMEM for the call (see
+    `_model_resident_kernel` — no per-tile weight refetch; requires the
+    model's int8 weights to fit VMEM). Numerics are identical to ``depth``
+    chained :func:`block_forward` calls — same tile body, same f32/bf16
+    profile (tests assert bit-identity in interpret mode).
+    """
+    d = num_heads * head_dim
+    per = []
+    for i in range(depth):
+        blk = blocks[str(i)]
+        nxt = blocks[str(i + 1)]["norm1"] if i + 1 < depth else final_ln
+        gemms = (
+            _gemm_rows(blk["qkv"], d, 3 * d),
+            _gemm_rows(blk["proj"], d, d),
+            _gemm_rows(blk["fc1"], d, 4 * d),
+            _gemm_rows(blk["fc2"], 4 * d, d),
+        )
+        rows = [a for grp in gemms for a in grp]
+        rows += [
+            _row(blk["norm2"]["scale"], d), _row(blk["norm2"]["bias"], d),
+            _row(nxt["scale"], d), _row(nxt["bias"], d),
+        ]
+        f32 = lambda v: jnp.asarray(v, jnp.float32).reshape(())  # noqa: E731
+        qs = jnp.stack([
+            f32(blk["norm1"]["out_q"]["scale"]),
+            f32(blk["norm1"]["out_q"]["zero_point"]),
+            1.0 / f32(blk["qkv"]["out_q"]["scale"]),
+            f32(blk["qkv"]["out_q"]["zero_point"]),
+            f32(blk["qkv"]["out_q"]["scale"]),
+            f32(blk["qkv"]["out_q"]["zero_point"]),
+            1.0 / f32(blk["norm2"]["out_q"]["scale"]),
+            f32(blk["norm2"]["out_q"]["zero_point"]),
+            1.0 / f32(blk["gelu_q"]["scale"]),
+            f32(blk["gelu_q"]["zero_point"]),
+            1.0 / f32(nxt["out_q"]["scale"]),
+            f32(nxt["out_q"]["zero_point"]),
+        ])
+        per.append(rows + [qs])
+    stacked = [jnp.stack([p[k] for p in per]) for k in range(len(_W_KEYS))]
+    qs_all = jnp.stack([p[-1] for p in per])  # [depth, 12]
+    bb = zq.shape[0]
+    block_b = min(block_b, bb)
+    pad = (-bb) % block_b
+    if pad:
+        zq = jnp.pad(zq, ((0, pad), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    run = _run_model_resident if resident else _run_model
+    x_out, zq_out = run(
+        zq, x, tuple(stacked), qs_all, num_heads=num_heads,
+        head_dim=head_dim, eps=eps, n_valid=n_valid, block_b=block_b,
+        interpret=interpret,
     )
     return x_out[:bb], zq_out[:bb]
 

@@ -48,7 +48,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qat_vit_tpu.ops.block_kernel import _dequant, _gemm_rows, _ln, _q8, _row
+from qat_vit_tpu.ops.block_kernel import (
+    _W_KEYS,
+    _dequant,
+    _gemm_rows,
+    _ln,
+    _q8,
+    _row,
+)
 
 _LANE = 128
 
@@ -59,19 +66,17 @@ def _act_fn(y: jnp.ndarray, act: str) -> jnp.ndarray:
     return jax.nn.gelu(y, approximate=True)
 
 
-def _long_block_kernel(
-    # activations (one image per grid step)
+def _long_block_impl(
+    # activation refs (one image per grid step); may ALIAS the output refs
+    # (the whole-model kernel keeps the tile resident in the out refs): zq is
+    # fully consumed by phase 1 before phase 3 rewrites it, and phase 3
+    # reads each x row-chunk before overwriting it
     zq_ref, x_ref,
-    # qkv / proj / fc1 / fc2 weight panels
-    wqkv_ref, cs_qkv_ref, b_qkv_ref, ws_qkv_ref,
-    wproj_ref, cs_proj_ref, b_proj_ref, ws_proj_ref,
-    wfc1_ref, cs_fc1_ref, b_fc1_ref, ws_fc1_ref,
-    wfc2_ref, cs_fc2_ref, b_fc2_ref, ws_fc2_ref,
-    # LayerNorm parameter rows
-    g2_ref, b2_ref, gn_ref, bn_ref,
-    # packed scalar quantization params (SMEM) — same 12-slot layout as
-    # ops/block_kernel._block_kernel
-    qs_ref,
+    # materialized weight/param values (_W_KEYS order)
+    w,
+    # 12 quantization-param scalars (already read out of SMEM by the
+    # caller) — same 12-slot layout as ops/block_kernel._block_tile_body
+    qs,
     # outputs
     xout_ref, zqout_ref,
     # scratch
@@ -110,24 +115,24 @@ def _long_block_kernel(
     # drops the (n_pad - n_kpad) padding columns' O(N^2) work
     n_kpad = min(-(-n_valid // _LANE) * _LANE, n_pad)
 
-    s1 = qs_ref[0, 0]
-    z1 = qs_ref[0, 1].astype(jnp.int32)
-    inv_so = qs_ref[0, 2]
-    zp_o = qs_ref[0, 3]
-    s_o = qs_ref[0, 4]
-    z_o = qs_ref[0, 5].astype(jnp.int32)
-    inv_s2 = qs_ref[0, 6]
-    zp_2 = qs_ref[0, 7]
-    inv_sg = qs_ref[0, 8]
-    zp_g = qs_ref[0, 9]
-    inv_sn = qs_ref[0, 10]
-    zp_n = qs_ref[0, 11]
+    s1 = qs[0]
+    z1 = qs[1].astype(jnp.int32)
+    inv_so = qs[2]
+    zp_o = qs[3]
+    s_o = qs[4]
+    z_o = qs[5].astype(jnp.int32)
+    inv_s2 = qs[6]
+    zp_2 = qs[7]
+    inv_sg = qs[8]
+    zp_g = qs[9]
+    inv_sn = qs[10]
+    zp_n = qs[11]
 
     # ---- phase 1: qkv GEMM, row-chunked, into the resident bf16 scratch ----
     def qkv_chunk(c, _):
         rows = zq_ref[0, pl.ds(c * row_chunk, row_chunk), :]
-        acc = jnp.dot(rows, wqkv_ref[:], preferred_element_type=jnp.int32)
-        y = _dequant(acc, cs_qkv_ref, ws_qkv_ref, b_qkv_ref, s1, z1 - 128)
+        acc = jnp.dot(rows, w["wqkv"], preferred_element_type=jnp.int32)
+        y = _dequant(acc, w["cs_qkv"], w["ws_qkv"], w["b_qkv"], s1, z1 - 128)
         qkv_scr[pl.ds(c * row_chunk, row_chunk), :] = y.astype(qkv_scr.dtype)
         if int8_scores:
             # q,k on the qkv out_q int8 grid (the fake-quant site the QAT
@@ -202,19 +207,21 @@ def _long_block_kernel(
     def mlp_chunk(c, _):
         rows = pl.ds(c * row_chunk, row_chunk)
         o_q = _q8(o_scr[rows, :], inv_so, zp_o)
-        acc = jnp.dot(o_q, wproj_ref[:], preferred_element_type=jnp.int32)
-        p_out = _dequant(acc, cs_proj_ref, ws_proj_ref, b_proj_ref, s_o,
+        acc = jnp.dot(o_q, w["wproj"], preferred_element_type=jnp.int32)
+        p_out = _dequant(acc, w["cs_proj"], w["ws_proj"], w["b_proj"], s_o,
                          z_o - 128)
         x_mid = x_ref[0, rows, :].astype(jnp.float32) + p_out
-        zq2 = _q8(_ln(x_mid, g2_ref, b2_ref, eps), inv_s2, zp_2)
-        acc = jnp.dot(zq2, wfc1_ref[:], preferred_element_type=jnp.int32)
-        f1 = _dequant(acc, cs_fc1_ref, ws_fc1_ref, b_fc1_ref, s_2, z_2 - 128)
+        zq2 = _q8(_ln(x_mid, w["g2"], w["b2"], eps), inv_s2, zp_2)
+        acc = jnp.dot(zq2, w["wfc1"], preferred_element_type=jnp.int32)
+        f1 = _dequant(acc, w["cs_fc1"], w["ws_fc1"], w["b_fc1"], s_2,
+                      z_2 - 128)
         g_q = _q8(_act_fn(f1, act), inv_sg, zp_g)
-        acc = jnp.dot(g_q, wfc2_ref[:], preferred_element_type=jnp.int32)
-        f2 = _dequant(acc, cs_fc2_ref, ws_fc2_ref, b_fc2_ref, s_g, z_g - 128)
+        acc = jnp.dot(g_q, w["wfc2"], preferred_element_type=jnp.int32)
+        f2 = _dequant(acc, w["cs_fc2"], w["ws_fc2"], w["b_fc2"], s_g,
+                      z_g - 128)
         x_out = x_mid + f2
         xout_ref[0, rows, :] = x_out.astype(xout_ref.dtype)
-        zqout_ref[0, rows, :] = _q8(_ln(x_out, gn_ref, bn_ref, eps),
+        zqout_ref[0, rows, :] = _q8(_ln(x_out, w["gn"], w["bn"], eps),
                                     inv_sn, zp_n)
         return _
 
@@ -223,6 +230,47 @@ def _long_block_kernel(
     else:  # keep outputs written so the chained stack stays well-defined
         xout_ref[0, :, :] = x_ref[0, :, :]
         zqout_ref[0, :, :] = zq_ref[0, :, :]
+
+
+def _split_refs(refs):
+    qs_ref = refs[len(_W_KEYS)]
+    xout_ref, zqout_ref = refs[len(_W_KEYS) + 1 : len(_W_KEYS) + 3]
+    scratch = refs[len(_W_KEYS) + 3 :]
+    return qs_ref, xout_ref, zqout_ref, scratch
+
+
+def _long_block_kernel(
+    zq_ref, x_ref,
+    # weight panels + LN rows (_W_KEYS order), qs, outputs, scratch
+    *refs,
+    **kw,
+):
+    qs_ref, xout_ref, zqout_ref, scratch = _split_refs(refs)
+    w = {k: r[:] for k, r in zip(_W_KEYS, refs)}
+    qs = tuple(qs_ref[0, k] for k in range(12))
+    _long_block_impl(zq_ref, x_ref, w, qs, xout_ref, zqout_ref,
+                     *scratch, **kw)
+
+
+def _long_model_kernel(zq_ref, x_ref, *refs, **kw):
+    """All blocks over one image, one grid step per (image, block): weights
+    stream depth-indexed (prefetched by the grid pipeline during the
+    previous block's compute), the activation tile stays resident in the
+    OUTPUT refs across the depth loop (flushed to HBM once per image). Same
+    body as the per-block kernel — the in-place aliasing is safe per
+    `_long_block_impl`'s contract."""
+    j = pl.program_id(1)
+    qs_ref, xout_ref, zqout_ref, scratch = _split_refs(refs)
+
+    @pl.when(j == 0)
+    def _():
+        xout_ref[:] = x_ref[:]
+        zqout_ref[:] = zq_ref[:]
+
+    w = {k: r[0] for k, r in zip(_W_KEYS, refs)}
+    qs = tuple(qs_ref[j, k] for k in range(12))
+    _long_block_impl(zqout_ref, xout_ref, w, qs, xout_ref, zqout_ref,
+                     *scratch, **kw)
 
 
 @partial(
@@ -298,6 +346,141 @@ def _run_long_block(
         interpret=interpret,
     )(*flat)
     return x_out, zq_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_heads", "head_dim", "mlp_dim", "act", "eps",
+                     "n_valid", "q_tile", "row_chunk", "interpret",
+                     "stripe_unroll", "chunk_unroll", "int8_scores"),
+)
+def _run_long_model(
+    zq, x, args, qs, *, num_heads, head_dim, mlp_dim, act, eps, n_valid,
+    q_tile, row_chunk, interpret, stripe_unroll=1, chunk_unroll=1,
+    int8_scores=False
+):
+    b, n_pad, d = zq.shape
+    depth = qs.shape[0]
+    tile = lambda r: pl.BlockSpec(  # noqa: E731
+        (1, n_pad, r), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    dstack = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [tile(d), tile(d)]
+    in_specs += [dstack(a.shape[1:]) for a in args]
+    # unblocked [depth, 12] SMEM table — Mosaic rejects depth-blocked SMEM
+    # specs; the kernel indexes row j dynamically
+    in_specs += [pl.BlockSpec((depth, 12), lambda i, j: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    x_out, zq_out = pl.pallas_call(
+        partial(
+            _long_model_kernel, num_heads=num_heads, head_dim=head_dim,
+            mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid,
+            q_tile=q_tile, row_chunk=row_chunk,
+            stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
+            int8_scores=int8_scores,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, d), jnp.int8),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(b, depth),
+            in_specs=in_specs,
+            out_specs=(tile(d), tile(d)),
+            scratch_shapes=[
+                pltpu.VMEM((n_pad, 3 * d), jnp.bfloat16),  # packed qkv
+                pltpu.VMEM((n_pad, d), jnp.float32),  # attention output
+                pltpu.VMEM((n_pad, 2 * d), jnp.int8),  # int8 q,k (optional)
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # depth revisits the same output blocks and must run in order
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=depth * (2 * b * n_pad * d * (3 * d + d + 2 * mlp_dim)
+                           + 4 * b * num_heads * n_pad * n_pad * head_dim),
+            bytes_accessed=zq.size * 2 + x.size * 2 * x.dtype.itemsize
+            + sum(a.size for a in args),
+            transcendentals=depth * (b * num_heads * n_pad * n_pad
+                                     + b * n_pad * mlp_dim),
+        ),
+        interpret=interpret,
+    )(zq, x, *args, qs)
+    return x_out, zq_out
+
+
+def long_model_forward(
+    zq: jnp.ndarray,  # [B, N_pad, D] shifted-int8 LN1 output of block 0
+    x: jnp.ndarray,  # [B, N_pad, D] bf16/f32 residual stream
+    blocks: Dict[str, Any],  # the convert_vit "blocks" tree (str(i) keys)
+    final_ln: Dict[str, Any],  # the model's final norm entry
+    *,
+    num_heads: int,
+    head_dim: int,
+    depth: int,
+    act: str = "gelu",
+    eps: float = 1e-6,
+    n_valid: int,
+    q_tile: int = 256,
+    row_chunk: int = 256,
+    interpret: bool = False,
+    stripe_unroll: int = 1,
+    chunk_unroll: int = 1,
+    int8_scores: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The ENTIRE long-sequence stack in ONE Pallas call (see
+    `_long_model_kernel`); numerics identical to ``depth`` chained
+    :func:`long_block_forward` calls (bit-identity tested)."""
+    d = num_heads * head_dim
+    mlp_dim = blocks["0"]["fc1"]["w_int8"].shape[1]
+    per = []
+    for i in range(depth):
+        blk = blocks[str(i)]
+        nxt = blocks[str(i + 1)]["norm1"] if i + 1 < depth else final_ln
+        gemms = (
+            _gemm_rows(blk["qkv"], d, 3 * d),
+            _gemm_rows(blk["proj"], d, d),
+            _gemm_rows(blk["fc1"], d, mlp_dim),
+            _gemm_rows(blk["fc2"], mlp_dim, d),
+        )
+        rows = [a for grp in gemms for a in grp]
+        rows += [
+            _row(blk["norm2"]["scale"], d), _row(blk["norm2"]["bias"], d),
+            _row(nxt["scale"], d), _row(nxt["bias"], d),
+        ]
+        f32 = lambda v: jnp.asarray(v, jnp.float32).reshape(())  # noqa: E731
+        qs = jnp.stack([
+            f32(blk["norm1"]["out_q"]["scale"]),
+            f32(blk["norm1"]["out_q"]["zero_point"]),
+            1.0 / f32(blk["qkv"]["out_q"]["scale"]),
+            f32(blk["qkv"]["out_q"]["zero_point"]),
+            f32(blk["qkv"]["out_q"]["scale"]),
+            f32(blk["qkv"]["out_q"]["zero_point"]),
+            1.0 / f32(blk["norm2"]["out_q"]["scale"]),
+            f32(blk["norm2"]["out_q"]["zero_point"]),
+            1.0 / f32(blk["gelu_q"]["scale"]),
+            f32(blk["gelu_q"]["zero_point"]),
+            1.0 / f32(nxt["out_q"]["scale"]),
+            f32(nxt["out_q"]["zero_point"]),
+        ])
+        per.append(rows + [qs])
+    stacked = [jnp.stack([p[k] for p in per]) for k in range(len(_W_KEYS))]
+    qs_all = jnp.stack([p[-1] for p in per])  # [depth, 12]
+    n_pad = zq.shape[1]
+    assert n_pad % q_tile == 0 and n_pad % row_chunk == 0, (
+        n_pad, q_tile, row_chunk,
+    )
+    return _run_long_model(
+        zq, x, tuple(stacked), qs_all, num_heads=num_heads,
+        head_dim=head_dim, mlp_dim=mlp_dim, act=act, eps=eps,
+        n_valid=n_valid, q_tile=q_tile, row_chunk=row_chunk,
+        interpret=interpret, stripe_unroll=stripe_unroll,
+        chunk_unroll=chunk_unroll, int8_scores=int8_scores,
+    )
 
 
 def long_block_forward(

@@ -284,9 +284,10 @@ def _fused_blocks(
     )
     from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
 
-    if mode.startswith("megablock_long"):
-        # megablock_long[:TQ[:RC[:flags...]]] — flags: i8 (int8 score dots),
-        # suN / cuN (stripe / chunk unroll)
+    if mode.startswith("megablock_long") or mode.startswith("megamodel_long"):
+        # mega{block,model}_long[:TQ[:RC[:flags...]]] — flags: i8 (int8
+        # score dots), suN / cuN (stripe / chunk unroll); megamodel_long
+        # fuses ALL blocks into one Pallas call (depth on the grid)
         parts = mode.split(":")
         tq = int(parts[1]) if len(parts) > 1 and parts[1] else 256
         rc = int(parts[2]) if len(parts) > 2 and parts[2] else 256
@@ -296,14 +297,22 @@ def _fused_blocks(
         return _megablock_long_stack(
             qp, x, cfg, compute_dtype=compute_dtype, q_tile=tq, row_chunk=rc,
             int8_scores="i8" in flags, stripe_unroll=su, chunk_unroll=cu,
+            whole_model=mode.startswith("megamodel_long"),
         )
-    if mode.startswith("megablock"):
+    if mode.startswith("megamodel") or mode.startswith("megablock"):
+        # megamodel: ALL blocks in one Pallas call (ops/block_kernel.py
+        # model_forward — depth on the grid, weights streamed/double-
+        # buffered, activations resident); megamodel_res: same, but weights
+        # pinned whole in VMEM (no per-tile refetch; model must fit);
+        # megablock: one call per block
         parts = mode.split(":")
         bb = int(parts[1]) if len(parts) > 1 and parts[1] else 4
         tight = len(parts) > 2 and parts[2] == "tight"
         return _megablock_stack(
             qp, x, cfg, compute_dtype=compute_dtype, block_b=bb,
             pad_multiple=32 if tight else 128,
+            whole_model=mode.startswith("megamodel"),
+            resident=mode.startswith("megamodel_res"),
         )
     _MODES = ("pallas", "mixed", "mixed_qkv", "mixed_fc1", "mixed_none")
     if mode not in _MODES:
@@ -452,6 +461,8 @@ def _megablock_stack(
     block_b: int = 4,
     pad_multiple: int = 128,
     interpret: bool = False,
+    whole_model: bool = False,
+    resident: bool = False,
 ) -> jnp.ndarray:
     """Whole-block Pallas kernels chained custom-call→custom-call.
 
@@ -460,8 +471,15 @@ def _megablock_stack(
     fc2(+residual+next-LN+quantize). Between blocks only (x bf16, zq int8)
     cross HBM, and no XLA ops sit between the calls, so there are no layout
     conversions at the boundaries. Sequence padded to the lane multiple once.
+
+    ``whole_model=True`` fuses further: the ENTIRE stack becomes ONE Pallas
+    call (block_kernel.model_forward) — per forward the activations cross
+    HBM once each way and the per-block weight panels stream depth-indexed
+    through the grid pipeline (prefetched during the previous block's
+    compute). Bit-identical to the chained form by construction (same tile
+    body).
     """
-    from qat_vit_tpu.ops.block_kernel import block_forward
+    from qat_vit_tpu.ops.block_kernel import block_forward, model_forward
     from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
 
     if cfg.act != "gelu":
@@ -480,18 +498,26 @@ def _megablock_stack(
     blk0 = qp["blocks"]["0"]
     zq = _ln_quantize_xla(x, blk0["norm1"], blk0["norm1"]["out_q"], eps)
 
-    for i in range(cfg.depth):
-        blk = qp["blocks"][str(i)]
-        nxt = (
-            qp["blocks"][str(i + 1)]["norm1"]
-            if i + 1 < cfg.depth
-            else qp["norm"]
+    if whole_model:
+        x, zq = model_forward(
+            zq, x, qp["blocks"], qp["norm"],
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim, depth=cfg.depth,
+            eps=eps, n_valid=n, block_b=block_b, interpret=interpret,
+            resident=resident,
         )
-        x, zq = block_forward(
-            zq, x, blk, nxt,
-            num_heads=cfg.num_heads, head_dim=cfg.head_dim, eps=eps,
-            n_valid=n, block_b=block_b, interpret=interpret,
-        )
+    else:
+        for i in range(cfg.depth):
+            blk = qp["blocks"][str(i)]
+            nxt = (
+                qp["blocks"][str(i + 1)]["norm1"]
+                if i + 1 < cfg.depth
+                else qp["norm"]
+            )
+            x, zq = block_forward(
+                zq, x, blk, nxt,
+                num_heads=cfg.num_heads, head_dim=cfg.head_dim, eps=eps,
+                n_valid=n, block_b=block_b, interpret=interpret,
+            )
 
     hq = qp["norm"]["out_q"]
     logits = int8_matmul_xla(
@@ -519,6 +545,7 @@ def _megablock_long_stack(
     int8_scores: bool = False,
     stripe_unroll: int = 1,
     chunk_unroll: int = 1,
+    whole_model: bool = False,
 ) -> jnp.ndarray:
     """Long-sequence whole-block Pallas kernels chained call→call.
 
@@ -526,10 +553,14 @@ def _megablock_long_stack(
     (ops/long_block_kernel.py): grid over images, q-striped attention, row-
     chunked GEMM phases — for geometries whose scores can't sit whole in VMEM
     (OWLv2's 2305 tokens) or whose width isn't slab-alignable (9 heads x 64).
-    In-kernel activation is exact quick-GELU or tanh-GELU."""
+    In-kernel activation is exact quick-GELU or tanh-GELU.
+    ``whole_model=True``: the whole stack in ONE Pallas call
+    (long_model_forward) — depth on the grid, weights streamed/prefetched,
+    activations resident; bit-identical to the chained form."""
     from qat_vit_tpu.ops.long_block_kernel import (
         long_block_forward,
         long_megablock_pad,
+        long_model_forward,
     )
     from qat_vit_tpu.ops.quantized_matmul import int8_matmul_xla
 
@@ -548,20 +579,30 @@ def _megablock_long_stack(
     blk0 = qp["blocks"]["0"]
     zq = _ln_quantize_xla(x, blk0["norm1"], blk0["norm1"]["out_q"], eps)
 
-    for i in range(cfg.depth):
-        blk = qp["blocks"][str(i)]
-        nxt = (
-            qp["blocks"][str(i + 1)]["norm1"]
-            if i + 1 < cfg.depth
-            else qp["norm"]
+    if whole_model:
+        x, zq = long_model_forward(
+            zq, x, qp["blocks"], qp["norm"],
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim, depth=cfg.depth,
+            act=cfg.act, eps=eps, n_valid=n, q_tile=q_tile,
+            row_chunk=row_chunk, interpret=interpret,
+            int8_scores=int8_scores, stripe_unroll=stripe_unroll,
+            chunk_unroll=chunk_unroll,
         )
-        x, zq = long_block_forward(
-            zq, x, blk, nxt,
-            num_heads=cfg.num_heads, head_dim=cfg.head_dim, act=cfg.act,
-            eps=eps, n_valid=n, q_tile=q_tile, row_chunk=row_chunk,
-            interpret=interpret, int8_scores=int8_scores,
-            stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
-        )
+    else:
+        for i in range(cfg.depth):
+            blk = qp["blocks"][str(i)]
+            nxt = (
+                qp["blocks"][str(i + 1)]["norm1"]
+                if i + 1 < cfg.depth
+                else qp["norm"]
+            )
+            x, zq = long_block_forward(
+                zq, x, blk, nxt,
+                num_heads=cfg.num_heads, head_dim=cfg.head_dim, act=cfg.act,
+                eps=eps, n_valid=n, q_tile=q_tile, row_chunk=row_chunk,
+                interpret=interpret, int8_scores=int8_scores,
+                stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
+            )
 
     hq = qp["norm"]["out_q"]
     logits = int8_matmul_xla(
@@ -604,20 +645,46 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
         # score tensor stays ≤ 5 MB — the measured sweet spot on both
         # ViT-S (picks 4: 21.7 ms < bb2 22.4 < bb8 26.3) and ViT-B
         # (picks 2: 5,158 img/s vs bb4 4,607, bb8 4,845); beyond it VMEM
-        # pressure defeats Mosaic's pipelining (docs/BENCHMARKS.md)
+        # pressure defeats Mosaic's pipelining (docs/BENCHMARKS.md).
+        # megamodel (round 3): the whole stack in ONE Pallas call, weight
+        # panels streamed on the depth grid axis — bit-identical to the
+        # chained megablocks and measured ≥ them in every session on both
+        # geometries (ViT-S 19.28 vs 19.39 ms, ViT-B 49.45 vs 49.63;
+        # docs/BENCHMARKS.md round 3)
         bb = next(
             (b for b in (8, 4, 2)
              if b * cfg.num_heads * n_tight * n_tight * 4 <= 5 * 1024 * 1024),
             1,
         )
-        return {"fused": f"megablock:{bb}:tight"}
+        return {"fused": f"megamodel:{bb}:tight"}
     if attn_ok and tiling.batched_softmax_fits(cfg.num_heads, n_lane):
         # quick-GELU models keep fc1's activation in XLA (mixed_none computes
         # the exact trained activation there); the Pallas GEMM epilogues bake
         # in tanh-GELU, so they are gelu-only
         return {"fused": "mixed_none", "attn_impl": "pallas_fused"}
     from qat_vit_tpu.ops.long_attention import long_attention_shapes_ok
+    from qat_vit_tpu.ops.long_block_kernel import (
+        long_megablock_pad,
+        long_megablock_shapes_ok,
+    )
 
+    if (
+        cfg.act in ("gelu", "quick_gelu")
+        and long_megablock_shapes_ok(cfg.num_heads, cfg.head_dim)
+        and cfg.seq_len >= 1536
+    ):
+        # genuinely long sequences (OWLv2's 2305 tokens): the whole-model
+        # q-striped kernel (ops/long_block_kernel.long_model_forward) —
+        # depth on the grid, weights prefetched, scores never in HBM, full
+        # stripe unroll so stripe i's softmax (VPU) overlaps stripe i+1's
+        # score dot (MXU). Measured 25.6/25.7 ms vs 32.4 for the
+        # mixed_none+pallas_long rung at OWLv2-pruned batch 8 (+27%;
+        # docs/BENCHMARKS.md round 3). q_tile 512 measured best of
+        # {128, 256, 512}; the ≥1536 gate keeps the ≤2×q_tile padding
+        # regime for shorter sequences on the rung below.
+        n_pad = long_megablock_pad(cfg.seq_len, 512, 256)
+        su = n_pad // 512
+        return {"fused": f"megamodel_long:512:256:su{su}"}
     if long_attention_shapes_ok(cfg.num_heads, cfg.head_dim):
         # geometries past the slab kernels' gates (long sequences whose
         # stacked scores overflow VMEM, non-lane-aligned widths — OWLv2's
@@ -631,14 +698,17 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
 def serving_preset(cfg: ViTConfig) -> Dict[str, Any]:
     """Measured-best serving options for the current backend.
 
-    On TPU (scripts/serve_bench.py, batch 256 ViT-S): the megablock path —
-    one whole-transformer-block Pallas kernel per block (ops/block_kernel.py)
-    with the sequence padded only to the 32-sublane multiple (197→224) —
-    6,557 (round 1) → 10,533 (fused seams) → **12,744 img/s**. Quick-GELU
-    models (OWLv2) use the mixed int8-handoff chain + fused Pallas attention
-    instead (megablock's in-kernel epilogue is tanh-GELU only); geometries
-    the Pallas kernels' shape gates reject fall back to the plain XLA int8
-    path in bf16. Elsewhere (CPU tests, interpret mode): the exact defaults.
+    On TPU (scripts/serve_bench.py, batch 256 ViT-S): the megamodel path —
+    the ENTIRE transformer stack in one Pallas call (ops/block_kernel.py
+    model_forward, weights streamed on the depth grid axis) with the
+    sequence padded only to the 32-sublane multiple (197→224) — 6,557
+    (round 1) → 12,744 (round-2 megablock) → **13,277 img/s**. Long
+    sequences (OWLv2's 2305 tokens) get the q-striped whole-model kernel
+    (ops/long_block_kernel.py, 32.4 → 25.6 ms at batch 8); short-sequence
+    quick-GELU models use the mixed int8-handoff chain + fused Pallas
+    attention (the slab epilogues bake tanh-GELU); geometries the Pallas
+    kernels' shape gates reject fall back to the plain XLA int8 path in
+    bf16. Elsewhere (CPU tests, interpret mode): the exact defaults.
     Accuracy: every option is validated against the exact path (argmax
     agreement on micro models in tests/test_fused_serve.py; full-scale int8
     top-1 cross-check in scripts/accuracy_loop.py).

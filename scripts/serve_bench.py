@@ -213,11 +213,25 @@ def main():
         bench(mode, lambda qp, x, m=mode: int8_apply(
             qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
             fused=m))
+    # whole-MODEL kernel (all blocks in one Pallas call): megamodel streams
+    # weights on the depth grid axis; megamodel_res pins them whole in VMEM
+    for mode in ("megamodel:4:tight", "megamodel:2:tight", "megamodel:8:tight",
+                 "megamodel:4", "megamodel:1:tight",
+                 "megamodel_res:4:tight", "megamodel_res:2:tight",
+                 "megamodel_res:8:tight", "megamodel_res:16:tight"):
+        bench(mode, lambda qp, x, m=mode: int8_apply(
+            qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+            fused=m))
     # long-sequence whole-block kernel (ops/long_block_kernel.py):
     # megablock_long:Q_TILE:ROW_CHUNK
     for mode in ("megablock_long", "megablock_long:128:256",
                  "megablock_long:256:512", "megablock_long:512:256",
-                 "megablock_long:128:128", "megablock_long:256:128"):
+                 "megablock_long:128:128", "megablock_long:256:128",
+                 # whole-model (depth-on-grid) + measured-best flags
+                 "megamodel_long:512:256", "megamodel_long:512:256:su5",
+                 "megamodel_long:256:256", "megablock_long:512:256:su5",
+                 "megamodel_long:512:256:i8:su5",
+                 "megamodel_long:512:256:su5:cu2"):
         bench(mode, lambda qp, x, m=mode: int8_apply(
             qp, x, cfg, attn_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
             fused=m))

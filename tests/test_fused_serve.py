@@ -199,6 +199,40 @@ class TestMegablock:
             np.asarray(mega), np.asarray(base), rtol=0.05, atol=0.05
         )
 
+    def test_megamodel_bit_identical_to_chained(self):
+        """The whole-MODEL kernel (model_forward: every block in one Pallas
+        call, weights streamed on the depth grid axis) must be BIT-identical
+        to the chained per-block kernels — same tile body, pure fusion."""
+        import flax.linen as nn
+
+        from qat_vit_tpu.models.registry import create_model
+        from qat_vit_tpu.serve.int8_vit import convert_vit, int8_apply
+
+        m = create_model("vit_micro_test", qat_wrapper=True)
+        rng = np.random.default_rng(1)
+        v = nn.meta.unbox(
+            m.module.init(jax.random.key(0), m.example_input(1), observe=False)
+        )
+        x = jnp.asarray(
+            rng.normal(size=(6,) + m.example_input(1).shape[1:]).astype(np.float32)
+        )
+        _, mut = m.module.apply(
+            {"params": v["params"], "quant_stats": v["quant_stats"]},
+            x, observe=True, mutable=["quant_stats"],
+        )
+        qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
+        with pltpu.force_tpu_interpret_mode():
+            chained = int8_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
+                                 fused="megablock:2:tight")
+            whole = int8_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
+                               fused="megamodel:2:tight")
+            # resident variant: weights pinned in VMEM, depth unrolled
+            # in-kernel, activations carried as values — still bit-identical
+            res = int8_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
+                             fused="megamodel_res:2:tight")
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(chained))
+        np.testing.assert_array_equal(np.asarray(res), np.asarray(chained))
+
 
 class TestLongMegablock:
     def test_quick_gelu_matches_exact(self):
@@ -273,6 +307,20 @@ class TestLongMegablock:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(base), rtol=0.06, atol=0.06
         )
+
+    def test_megamodel_long_bit_identical_to_chained(self):
+        """The long-sequence whole-MODEL kernel (long_model_forward) must be
+        BIT-identical to the chained per-block kernels — same body, pure
+        fusion (weights streamed on the depth grid axis)."""
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=2)
+        with pltpu.force_tpu_interpret_mode():
+            chained = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                 fused="megablock_long:64:32")
+            whole = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                               fused="megamodel_long:64:32")
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(chained))
 
     def test_unroll_flags_bit_identical(self):
         """Stripe/chunk unrolling is a pure scheduling knob: outputs must be
@@ -409,11 +457,11 @@ class TestServingModeSelection:
         from qat_vit_tpu.serve.int8_vit import _preset_kernel_opts
 
         aligned_gelu = ViTConfig(embed_dim=384, num_heads=6)  # ViT-S
-        assert _preset_kernel_opts(aligned_gelu)["fused"] == "megablock:4:tight"
+        assert _preset_kernel_opts(aligned_gelu)["fused"] == "megamodel:4:tight"
         # ViT-B: twice the heads -> the 5 MB stacked-score budget halves the
         # batch tile (measured optimum: bb2 5,158 img/s vs bb4 4,607)
         vit_b = ViTConfig(embed_dim=768, num_heads=12)
-        assert _preset_kernel_opts(vit_b)["fused"] == "megablock:2:tight"
+        assert _preset_kernel_opts(vit_b)["fused"] == "megamodel:2:tight"
         aligned_qg = ViTConfig(embed_dim=768, num_heads=12, act="quick_gelu")
         opts = _preset_kernel_opts(aligned_qg)
         assert opts == {"fused": "mixed_none", "attn_impl": "pallas_fused"}
@@ -424,15 +472,17 @@ class TestServingModeSelection:
         assert _preset_kernel_opts(misaligned) == long_rung
         # OWLv2-base geometry: lane-aligned heads but 2305-token sequences —
         # the batched-softmax scheme's stacked score tiles (~1 GB) cannot
-        # live in VMEM; the q-tiled long-sequence kernel takes over
+        # live in VMEM; the long-sequence whole-model kernel takes over
+        # (2305 → n_pad 2560 → 5 q-stripes of 512, fully unrolled)
         # (regression 1: the gate only checked head geometry; regression 2:
         # the pre-long-kernel fallback was the plain XLA path, which
         # materializes ~850 MB of scores per batch-8 forward)
+        long_mega = {"fused": "megamodel_long:512:256:su5"}
         long_seq = ViTConfig(embed_dim=768, num_heads=12, image_size=768,
                              act="quick_gelu", pre_norm=True)
-        assert _preset_kernel_opts(long_seq) == long_rung
+        assert _preset_kernel_opts(long_seq) == long_mega
         long_seq_gelu = ViTConfig(embed_dim=768, num_heads=12, image_size=768)
-        assert _preset_kernel_opts(long_seq_gelu) == long_rung
+        assert _preset_kernel_opts(long_seq_gelu) == long_mega
         # a geometry past every kernel's gates: head_dim > one register
         assert _preset_kernel_opts(
             ViTConfig(embed_dim=512, num_heads=2)
