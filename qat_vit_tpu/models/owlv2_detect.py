@@ -93,18 +93,26 @@ class Owlv2Detector(nn.Module):
     @nn.compact
     def __call__(
         self,
-        pixels: jnp.ndarray,  # [B, H, W, 3] preprocessed images
+        pixels: Optional[jnp.ndarray],  # [B, H, W, 3] preprocessed images
         query_embeds: Optional[jnp.ndarray] = None,  # [B, Q, text_dim]
         query_mask: Optional[jnp.ndarray] = None,  # [B, Q] 1=valid
         *,
         observe: bool = False,
+        tokens: Optional[jnp.ndarray] = None,  # [B, N, D] precomputed tower out
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         assert cfg.num_classes == 0, "detector tower must be a feature extractor"
         d = cfg.embed_dim
         grid = cfg.image_size // cfg.patch_size
 
-        tokens = VisionTransformer(cfg, name="vision")(pixels, observe=observe)
+        if tokens is None:
+            tokens = VisionTransformer(cfg, name="vision")(
+                pixels, observe=observe
+            )
+        # else: heads-only forward on a precomputed token stream — the int8
+        # serving path (serve/int8_detect.py) runs the tower as the converted
+        # Pallas/XLA int8 forward and feeds its dequantized tokens here; the
+        # "vision" params are never touched in this branch.
         cls_tok = tokens[:, :1, :]
         feats = tokens[:, 1:, :] * cls_tok  # class-token gating
         feats = nn.LayerNorm(epsilon=1e-5, name="merged_ln")(feats)

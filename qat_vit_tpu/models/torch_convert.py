@@ -236,6 +236,10 @@ def owlv2_vision_to_params(
             },
         }
     unused = set(state) - used
+    # non-parameter buffers older transformers versions persist in state
+    # dicts (e.g. embeddings.position_ids) are benign — they carry no
+    # learned values and must not trip the strictness check
+    unused = {k for k in unused if not k.endswith(".position_ids")}
     if unused:
         msg = (
             f"unused checkpoint keys: {sorted(unused)[:8]}"

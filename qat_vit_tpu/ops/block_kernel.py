@@ -320,11 +320,14 @@ def block_forward(
     # to the full 128 lane multiple.
     """One full ViT block in one Pallas call → (x', next block's zq')."""
     d = num_heads * head_dim
+    # read the MLP width off the export (mlp_ratio != 4 models must not hit
+    # an opaque reshape error — the preset gate never checks mlp_ratio)
+    mlp_dim = blk["fc1"]["w_int8"].shape[1]
     args = (
         _gemm_rows(blk["qkv"], d, 3 * d),
         _gemm_rows(blk["proj"], d, d),
-        _gemm_rows(blk["fc1"], d, 4 * d),
-        _gemm_rows(blk["fc2"], 4 * d, d),
+        _gemm_rows(blk["fc1"], d, mlp_dim),
+        _gemm_rows(blk["fc2"], mlp_dim, d),
         (
             _row(blk["norm2"]["scale"], d), _row(blk["norm2"]["bias"], d),
             _row(next_ln["scale"], d), _row(next_ln["bias"], d),
@@ -559,6 +562,9 @@ def model_forward(
     profile (tests assert bit-identity in interpret mode).
     """
     d = num_heads * head_dim
+    # MLP width from the export itself, as the long path does (a gelu
+    # lane-aligned model with mlp_ratio != 4 must route correctly)
+    mlp_dim = blocks["0"]["fc1"]["w_int8"].shape[1]
     per = []
     for i in range(depth):
         blk = blocks[str(i)]
@@ -566,8 +572,8 @@ def model_forward(
         gemms = (
             _gemm_rows(blk["qkv"], d, 3 * d),
             _gemm_rows(blk["proj"], d, d),
-            _gemm_rows(blk["fc1"], d, 4 * d),
-            _gemm_rows(blk["fc2"], 4 * d, d),
+            _gemm_rows(blk["fc1"], d, mlp_dim),
+            _gemm_rows(blk["fc2"], mlp_dim, d),
         )
         rows = [a for grp in gemms for a in grp]
         rows += [

@@ -555,6 +555,46 @@ def long_megablock_pad(n: int, q_tile: int, row_chunk: int) -> int:
     return -(-n // m) * m
 
 
+def long_megablock_vmem_bytes(
+    n_pad: int, d: int, mlp_dim: int, q_tile: int, stripe_unroll: int
+) -> int:
+    """Coarse upper estimate of the kernel's VMEM working set.
+
+    Components: the three scratch buffers (packed qkv bf16, attention-out
+    f32, int8 q/k), double-buffered activation in/out tiles (zq int8 + x
+    bf16, in and out), double-buffered int8 weight panels of one block, and
+    ``stripe_unroll`` concurrent [q_tile, n_pad] f32 score stripes (×2 for
+    the exp/softmax temporaries Mosaic may keep live). Used by the serving
+    preset to cap ``stripe_unroll``/gate the rung under the kernel's
+    ``vmem_limit_bytes`` — the OWLv2-pruned geometry it was measured at
+    (n_pad 2560, d 576) fits; owlv2_base at 960 px (n_pad 4096, d 768) with
+    full unroll does not and must fall back."""
+    scratch = n_pad * 3 * d * 2 + n_pad * d * 4 + n_pad * 2 * d
+    acts = 2 * 2 * (n_pad * d * 1 + n_pad * d * 2)
+    weights = 2 * (d * 3 * d + d * d + 2 * d * mlp_dim)
+    stripes = stripe_unroll * q_tile * n_pad * 4
+    return scratch + acts + weights + stripes
+
+
+_VMEM_LIMIT = 100 * 1024 * 1024  # the kernels' vmem_limit_bytes
+
+
+def long_megablock_pick_unroll(
+    n_pad: int, d: int, mlp_dim: int, q_tile: int,
+    budget: int = _VMEM_LIMIT,
+) -> int:
+    """Largest stripe_unroll (a divisor of the stripe count) whose estimated
+    working set fits the budget; 0 if even unroll=1 does not fit (the caller
+    must fall back to the chained/mixed rung)."""
+    n_stripes = max(1, n_pad // q_tile)
+    for su in range(n_stripes, 0, -1):
+        if n_stripes % su:
+            continue
+        if long_megablock_vmem_bytes(n_pad, d, mlp_dim, q_tile, su) <= budget:
+            return su
+    return 0
+
+
 def long_megablock_shapes_ok(num_heads: int, head_dim: int) -> bool:
     """Same shape precondition as the q-tiled attention kernel: any head
     count; the head dim must be a clean VMEM minor dim."""

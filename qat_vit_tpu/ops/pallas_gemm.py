@@ -56,12 +56,13 @@ def _kernel(x_ref, w_ref, colsum_ref, bias_ref, wscale_ref, qscale_ref, out_ref)
     supported by quant/convert.dense_int8)."""
     s_x = qscale_ref[0, 0]
     zp = qscale_ref[0, 1]  # original uint8 zero point
+    qmax = qscale_ref[0, 2]  # activation grid top (255 qnnpack / 127 fbgemm)
     # NB: pl.reciprocal only lowers for vector operands; plain scalar divide
     # is folded into the vector multiply below anyway.
     inv_s = 1.0 / s_x
     x = x_ref[:]
     # uint8-grid quantization stored shifted to signed int8 (MXU is signed).
-    q = jnp.clip(jnp.round(x * inv_s + zp), 0.0, 255.0) - 128.0
+    q = jnp.clip(jnp.round(x * inv_s + zp), 0.0, qmax) - 128.0
     q8 = q.astype(jnp.int8)
     acc = jnp.dot(q8, w_ref[:], preferred_element_type=jnp.int32)
     z_s = zp.astype(jnp.int32) - 128
@@ -73,7 +74,7 @@ def _kernel(x_ref, w_ref, colsum_ref, bias_ref, wscale_ref, qscale_ref, out_ref)
 def _fused_2d(
     x: jnp.ndarray,  # [M, K] f32
     w_q: jnp.ndarray,  # [K, N] int8
-    qscales: jnp.ndarray,  # [1, 2] f32: (x_scale, x_zp)
+    qscales: jnp.ndarray,  # [1, 3] f32: (x_scale, x_zp, x_quant_max)
     w_scale: jnp.ndarray,  # [1, N] f32 (per-channel, or broadcast per-tensor)
     w_colsum: jnp.ndarray,  # [1, N] int32
     bias: jnp.ndarray,  # [1, N] f32
@@ -101,7 +102,7 @@ def _fused_2d(
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
                 (tile_m, n), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -128,6 +129,7 @@ def fused_quantize_matmul(
     w_scale: jnp.ndarray,
     w_colsum: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    x_quant_max: jnp.ndarray | float = 255.0,
     out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -140,8 +142,9 @@ def fused_quantize_matmul(
         [
             jnp.asarray(x_scale, jnp.float32).reshape(()),
             jnp.asarray(x_zero_point, jnp.float32).reshape(()),
+            jnp.asarray(x_quant_max, jnp.float32).reshape(()),
         ]
-    ).reshape(1, 2)
+    ).reshape(1, 3)
     # per-tensor (scalar) and per-channel ([N]) weight scales both become a
     # [1, N] row consumed by the kernel epilogue
     ws = jnp.broadcast_to(

@@ -32,11 +32,20 @@ from jax import lax
 
 
 def quantize_act_shifted(
-    x: jnp.ndarray, scale: jnp.ndarray, zero_point: jnp.ndarray
+    x: jnp.ndarray, scale: jnp.ndarray, zero_point: jnp.ndarray,
+    quant_max: jnp.ndarray | float = 255.0,
 ) -> jnp.ndarray:
-    """f32 → shifted-int8 quantized activation (uint8 grid stored − 128)."""
+    """f32 → shifted-int8 quantized activation (uint8 grid stored − 128).
+
+    ``quant_max`` is the top of the activation grid: 255 for the qnnpack
+    qconfig, 127 for fbgemm's ``reduce_range=True`` (torch halves the range
+    to dodge an x86 vpmaddubsw overflow; the MXU has no such limit but the
+    export must clip on the grid it was trained/converted for). The −128
+    shift to signed int8 is grid-independent — values land in
+    [−128, quant_max−128] and the zero-point correction in
+    :func:`int8_matmul_xla` is exact for any consistent (scale, zp)."""
     q = jnp.round(x.astype(jnp.float32) / scale + zero_point)
-    q = jnp.clip(q, 0.0, 255.0) - 128.0
+    q = jnp.clip(q, 0.0, quant_max) - 128.0
     return q.astype(jnp.int8)
 
 
@@ -101,12 +110,15 @@ def quantized_dense(
                 layer["w_int8"],
                 x_scale=in_q["scale"],
                 x_zero_point=in_q["zero_point"],
+                x_quant_max=in_q.get("quant_max", 255.0),
                 w_scale=layer["w_scale"],
                 w_colsum=layer["w_colsum"],
                 bias=layer.get("bias"),
                 out_dtype=out_dtype,
             )
-    x_q = quantize_act_shifted(x, in_q["scale"], in_q["zero_point"])
+    x_q = quantize_act_shifted(
+        x, in_q["scale"], in_q["zero_point"], in_q.get("quant_max", 255.0)
+    )
     return int8_matmul_xla(
         x_q,
         layer["w_int8"],

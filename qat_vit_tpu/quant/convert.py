@@ -41,11 +41,21 @@ def convert_weight(
 def act_qparams(
     min_val: jnp.ndarray, max_val: jnp.ndarray, qcfg: QConfig
 ) -> Dict[str, jnp.ndarray]:
-    """Activation observer state → {scale, zero_point} (affine uint8)."""
+    """Activation observer state → {scale, zero_point, quant_max}.
+
+    ``quant_max`` records the grid the export quantizes on (255 for qnnpack,
+    127 for fbgemm's reduced range) — the serving quantize clips on it, so an
+    fbgemm-trained export stays on the [0, 127] grid it was trained for
+    instead of silently spilling onto [0, 255] (ref qconfig selection,
+    qat_trainer.py:293,306)."""
     scale, zp = qparams_affine(
         min_val, max_val, qcfg.activation.quant_min, qcfg.activation.quant_max
     )
-    return {"scale": scale, "zero_point": zp}
+    return {
+        "scale": scale,
+        "zero_point": zp,
+        "quant_max": jnp.float32(qcfg.activation.quant_max),
+    }
 
 
 def gelu_transform_qparams(
@@ -74,7 +84,11 @@ def gelu_transform_qparams(
     scale, zp = qparams_affine(
         lo, hi, qcfg.activation.quant_min, qcfg.activation.quant_max
     )
-    return {"scale": scale, "zero_point": zp}
+    return {
+        "scale": scale,
+        "zero_point": zp,
+        "quant_max": jnp.float32(qcfg.activation.quant_max),
+    }
 
 
 def act_output_qparams(
@@ -110,7 +124,11 @@ def act_output_qparams(
     scale, zp = qparams_affine(
         lo, hi, qcfg.activation.quant_min, qcfg.activation.quant_max
     )
-    return {"scale": scale, "zero_point": zp}
+    return {
+        "scale": scale,
+        "zero_point": zp,
+        "quant_max": jnp.float32(qcfg.activation.quant_max),
+    }
 
 
 def dense_int8(

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from qat_vit_tpu.models.vit import ViTConfig
 from qat_vit_tpu.ops.quantized_matmul import (
+    int8_matmul_xla,
     quantize_act_shifted,
     quantized_dense,
 )
@@ -66,8 +67,15 @@ def convert_vit(
             params["patch_embed"]["proj"], quant_stats["patch_embed"]["proj"], qcfg
         ),
         "norm": ln_params(params["norm"], quant_stats["norm"], qcfg),
-        "head": dense_int8_(params["head"], quant_stats["head"], qcfg),
     }
+    if cfg.num_classes:
+        out["head"] = dense_int8_(params["head"], quant_stats["head"], qcfg)
+    # feature-extractor towers (num_classes=0, e.g. the OWLv2 detection
+    # backbone) have no head; the final-LN qparams stay — int8_apply returns
+    # the dequantized token stream for float detection heads (the int8
+    # counterpart of the reference's detection QATWrapper, which quantizes
+    # the backbone and dequantizes outputs.logits —
+    # ref model_registry.py:99-124, 269-327)
     if cfg.qat_wrapper and "input_fq" in quant_stats:
         fq = quant_stats["input_fq"]
         out["input_q"] = act_qparams(fq["min_val"], fq["max_val"], qcfg)
@@ -137,7 +145,45 @@ def _ln_quantize_xla(y: jnp.ndarray, ln: Dict[str, Any], out_q: Dict[str, Any],
     mean = jnp.mean(y32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(y32 - mean), axis=-1, keepdims=True)
     z = (y32 - mean) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
-    return quantize_act_shifted(z, out_q["scale"], out_q["zero_point"])
+    return quantize_act_shifted(
+        z, out_q["scale"], out_q["zero_point"], out_q.get("quant_max", 255.0)
+    )
+
+
+def _dequantize_act(zq: jnp.ndarray, out_q: Dict[str, Any]) -> jnp.ndarray:
+    """Shifted-int8 → f32 on the activation grid: (q_u8 − zp)·s, q_u8 = zq+128."""
+    return (
+        zq.astype(jnp.float32) + (128.0 - out_q["zero_point"])
+    ) * out_q["scale"]
+
+
+def _head_or_tokens(
+    qp: Dict[str, Any], zq: jnp.ndarray, cfg: ViTConfig, n_valid: int
+) -> jnp.ndarray:
+    """Shared serving epilogue over the final-LN int8 stream ``zq``.
+
+    Classification: head GEMM on the cls token (N=num_classes is
+    lane-unaligned → XLA path). Feature mode (num_classes=0, detection
+    towers): the dequantized [B, N, D] token stream — float heads
+    (models/owlv2_detect.py) run on top, the int8 counterpart of the
+    reference's detection QATWrapper (quantized backbone, float outputs;
+    ref model_registry.py:99-124)."""
+    if zq.shape[1] != n_valid:
+        zq = zq[:, :n_valid]  # drop kernel padding rows
+    if cfg.num_classes == 0:
+        return _dequantize_act(zq, qp["norm"]["out_q"])
+    hq = qp["norm"]["out_q"]
+    logits = int8_matmul_xla(
+        zq[:, 0],
+        qp["head"]["w_int8"],
+        x_scale=hq["scale"],
+        x_zero_point=hq["zero_point"],
+        w_scale=qp["head"]["w_scale"],
+        w_colsum=qp["head"]["w_colsum"],
+        bias=qp["head"].get("bias"),
+        out_dtype=jnp.float32,
+    )
+    return logits.astype(jnp.float32)
 
 
 def _extract_patches(x: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -174,6 +220,20 @@ def int8_apply(
     eps = cfg.layer_norm_eps
     cdt = compute_dtype
     qd = partial(quantized_dense, use_pallas=use_pallas, out_dtype=cdt)
+
+    if cfg.quant is not None and cfg.quant.activation.quant_max != 255:
+        # the Pallas block/fused kernels bake the full uint8 grid (0..255)
+        # into their quantize epilogues; a reduced-range (fbgemm) export must
+        # stay on paths whose quantizes read the export's quant_max
+        if (fused and fused not in ("none", "mixed_none")) or (
+            fused == "mixed_none" and attn_impl == "pallas_fused"
+        ):
+            raise NotImplementedError(
+                f"activation grid [0, {cfg.quant.activation.quant_max}] "
+                f"(backend {cfg.quant.backend!r}): fused mode {fused!r}"
+                f"/attn {attn_impl!r} bakes the 0..255 grid in-kernel; use "
+                "the exact path, 'mixed_none', or a qnnpack export"
+            )
 
     patches = _extract_patches(images.astype(jnp.float32), cfg.patch_size)
     x = qd(patches, qp["patch_embed"], qp["input_q"])
@@ -240,9 +300,8 @@ def int8_apply(
             f = jax.nn.gelu(f.astype(jnp.float32), approximate=False).astype(cdt)
         x = x + qd(f, blk["fc2"], blk["gelu_q"])
 
-    y = _layernorm(x, qp["norm"], eps, jnp.float32)[:, 0]
-    logits = qd(y, qp["head"], qp["norm"]["out_q"], out_dtype=jnp.float32)
-    return logits.astype(jnp.float32)
+    zq = _ln_quantize_xla(x, qp["norm"], qp["norm"]["out_q"], eps)
+    return _head_or_tokens(qp, zq, cfg, x.shape[1])
 
 
 def _fused_blocks(
@@ -385,6 +444,7 @@ def _fused_blocks(
             o_q = quantize_act_shifted(
                 o, blk["qkv"]["out_q"]["scale"],
                 blk["qkv"]["out_q"]["zero_point"],
+                blk["qkv"]["out_q"].get("quant_max", 255.0),
             )
         nxt = (
             qp["blocks"][str(i + 1)]["norm1"]
@@ -415,7 +475,8 @@ def _fused_blocks(
                 else:
                     g = jax.nn.gelu(f1, approximate=True)
                 g_q = quantize_act_shifted(
-                    g, blk["gelu_q"]["scale"], blk["gelu_q"]["zero_point"]
+                    g, blk["gelu_q"]["scale"], blk["gelu_q"]["zero_point"],
+                    blk["gelu_q"].get("quant_max", 255.0),
                 )
             f = xla_dense(g_q, blk["fc2"], blk["gelu_q"], out_dtype=cdt)
             x = x + f
@@ -437,19 +498,7 @@ def _fused_blocks(
                 nxt, nxt["out_q"], eps=eps, out_dtype=cdt,
             )
 
-    # head GEMM on the cls token (N=num_classes is lane-unaligned -> XLA path)
-    hq = qp["norm"]["out_q"]
-    logits = int8_matmul_xla(
-        zq[:, 0],
-        qp["head"]["w_int8"],
-        x_scale=hq["scale"],
-        x_zero_point=hq["zero_point"],
-        w_scale=qp["head"]["w_scale"],
-        w_colsum=qp["head"]["w_colsum"],
-        bias=qp["head"].get("bias"),
-        out_dtype=jnp.float32,
-    )
-    return logits.astype(jnp.float32)
+    return _head_or_tokens(qp, zq, cfg, x.shape[1])
 
 
 def _megablock_stack(
@@ -519,18 +568,7 @@ def _megablock_stack(
                 n_valid=n, block_b=block_b, interpret=interpret,
             )
 
-    hq = qp["norm"]["out_q"]
-    logits = int8_matmul_xla(
-        zq[:, 0],
-        qp["head"]["w_int8"],
-        x_scale=hq["scale"],
-        x_zero_point=hq["zero_point"],
-        w_scale=qp["head"]["w_scale"],
-        w_colsum=qp["head"]["w_colsum"],
-        bias=qp["head"].get("bias"),
-        out_dtype=jnp.float32,
-    )
-    return logits.astype(jnp.float32)
+    return _head_or_tokens(qp, zq, cfg, n)
 
 
 def _megablock_long_stack(
@@ -604,18 +642,7 @@ def _megablock_long_stack(
                 stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
             )
 
-    hq = qp["norm"]["out_q"]
-    logits = int8_matmul_xla(
-        zq[:, 0],
-        qp["head"]["w_int8"],
-        x_scale=hq["scale"],
-        x_zero_point=hq["zero_point"],
-        w_scale=qp["head"]["w_scale"],
-        w_colsum=qp["head"]["w_colsum"],
-        bias=qp["head"].get("bias"),
-        out_dtype=jnp.float32,
-    )
-    return logits.astype(jnp.float32)
+    return _head_or_tokens(qp, zq, cfg, n)
 
 
 def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
@@ -629,6 +656,9 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
     from qat_vit_tpu.ops import _tiling as tiling
     from qat_vit_tpu.ops.block_kernel import megablock_shapes_ok
 
+    # the Pallas quantize epilogues bake the full uint8 grid; reduced-range
+    # (fbgemm) configs may only use rungs whose quantizes are XLA-side
+    full_grid = cfg.quant is None or cfg.quant.activation.quant_max == 255
     d = cfg.num_heads * cfg.head_dim
     # the fused attention kernel tiles heads into 128-lane slabs with the
     # same divisibility requirements as the megablock kernel
@@ -638,7 +668,7 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
     # and must stay on the XLA attention forms
     n_tight = -(-cfg.seq_len // 32) * 32  # megablock's 32-sublane padding
     n_lane = -(-cfg.seq_len // 128) * 128  # fused attention pads to 128
-    if cfg.act == "gelu" and attn_ok and tiling.batched_softmax_fits(
+    if cfg.act == "gelu" and full_grid and attn_ok and tiling.batched_softmax_fits(
         cfg.num_heads, n_tight
     ):
         # geometry-aware batch tile: the largest block_b whose stacked
@@ -657,7 +687,9 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
             1,
         )
         return {"fused": f"megamodel:{bb}:tight"}
-    if attn_ok and tiling.batched_softmax_fits(cfg.num_heads, n_lane):
+    if full_grid and attn_ok and tiling.batched_softmax_fits(
+        cfg.num_heads, n_lane
+    ):
         # quick-GELU models keep fc1's activation in XLA (mixed_none computes
         # the exact trained activation there); the Pallas GEMM epilogues bake
         # in tanh-GELU, so they are gelu-only
@@ -670,6 +702,7 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
 
     if (
         cfg.act in ("gelu", "quick_gelu")
+        and full_grid
         and long_megablock_shapes_ok(cfg.num_heads, cfg.head_dim)
         and cfg.seq_len >= 1536
     ):
@@ -681,10 +714,19 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
         # mixed_none+pallas_long rung at OWLv2-pruned batch 8 (+27%;
         # docs/BENCHMARKS.md round 3). q_tile 512 measured best of
         # {128, 256, 512}; the ≥1536 gate keeps the ≤2×q_tile padding
-        # regime for shorter sequences on the rung below.
+        # regime for shorter sequences on the rung below. stripe_unroll is
+        # capped by a VMEM estimate (long_megablock_vmem_bytes) so larger
+        # geometries (owlv2_base at 960 px: n_pad 4096, d 768) don't select
+        # a configuration that blows the kernel's vmem_limit_bytes; if even
+        # unroll=1 doesn't fit, fall through to the mixed_none rung.
+        from qat_vit_tpu.ops.long_block_kernel import (
+            long_megablock_pick_unroll,
+        )
+
         n_pad = long_megablock_pad(cfg.seq_len, 512, 256)
-        su = n_pad // 512
-        return {"fused": f"megamodel_long:512:256:su{su}"}
+        su = long_megablock_pick_unroll(n_pad, d, cfg.mlp_dim, 512)
+        if su:
+            return {"fused": f"megamodel_long:512:256:su{su}"}
     if long_attention_shapes_ok(cfg.num_heads, cfg.head_dim):
         # geometries past the slab kernels' gates (long sequences whose
         # stacked scores overflow VMEM, non-lane-aligned widths — OWLv2's

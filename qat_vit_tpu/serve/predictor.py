@@ -83,12 +83,10 @@ class Int8Predictor:
             # (all-gather) instead of data-parallel execution. Under
             # shard_map each device runs the unmodified per-device program
             # on its batch shard — params replicated, zero collectives.
-            from jax.experimental.shard_map import shard_map
-
-            mapped = shard_map(
+            mapped = jax.shard_map(
                 apply, mesh=self.mesh,
                 in_specs=(P(), P(axis)), out_specs=P(axis),
-                check_rep=False,
+                check_vma=False,
             )
             self._fwd = jax.jit(mapped, out_shardings=shard)
             self.qparams = jax.device_put(self.qparams, repl)

@@ -88,6 +88,14 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     "per_channel_weights": False,
     # capture a jax.profiler trace of the first QAT epoch into this dir
     "profile_dir": "",
+    # ---- detection KD (beyond-reference: the reference constructs OWLv2
+    # detection models but its trainer cannot consume them, ref
+    # model_registry.py:370-426) ----
+    "task": "classification",  # "detection" = detector KD (train/detect_trainer.py)
+    "det_box_weight": 1.0,  # L1 box-distillation weight
+    "det_obj_weight": 0.25,  # objectness-BCE distillation weight
+    "num_queries": 4,  # fixed query embeddings per run
+    "text_dim": 512,  # query-embedding width (OWLv2 text projection dim)
 }
 
 _TYPES = {k: type(v) for k, v in DEFAULT_HPARAMS.items()}

@@ -1,0 +1,454 @@
+"""Detection KD+QAT trainer: distill a teacher OWLv2 detector into a pruned,
+QAT-armed student detector.
+
+Capability beyond the reference: its registry constructs OWLv2 detection
+models (reference src/models/model_registry.py:370-426) but its trainer
+consumes only image→logits classifiers — detection models crash it, so the
+reference never trains detection. This engine reuses the classification
+trainer's phase machine (float phase → QAT switch with fresh observers +
+LR×qat_lr_scale optimizer → convert) over the detection KD objective
+(train/detect_steps.py): KL on per-query class logits + L1 on boxes + BCE on
+objectness, all against the frozen teacher detector.
+
+There is no labeled detection dataset in this pipeline (the reference ships
+none); the teacher is the supervision signal, and evaluation is
+teacher-relative (mean |Δbox| and top-box agreement). Query embeddings are
+fixed per run (open-vocabulary queries are precomputed text embeddings in
+deployment; the text tower is out of scope, as in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.linen as nn
+
+from qat_vit_tpu.data import ArrayLoader, load_cifar10
+from qat_vit_tpu.models import ModelBundle, create_model
+from qat_vit_tpu.parallel import (
+    barrier,
+    get_dist_info,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from qat_vit_tpu.quant import default_qat_qconfig
+from qat_vit_tpu.serve.int8_detect import convert_detector, int8_detect_apply
+from qat_vit_tpu.tracking import NullRun, make_tracker
+from qat_vit_tpu.train.config import DEFAULT_HPARAMS, save_effective_hparams
+from qat_vit_tpu.train.detect_steps import (
+    detect_loss_hparams,
+    make_detect_eval_step,
+    make_detect_train_step,
+)
+from qat_vit_tpu.train.steps import (
+    TrainState,
+    init_quant_stats,
+    make_optimizer,
+    set_optimizer_hyperparams,
+)
+from qat_vit_tpu.utils.checkpoint import save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def _unbox(tree):
+    return nn.meta.unbox(tree)
+
+
+class DetectKDTrainer:
+    """Detection KD+QAT engine (same phase machine as KDQATTrainer)."""
+
+    def __init__(
+        self,
+        hparams: Dict[str, Any],
+        *,
+        data: Optional[Dict[str, np.ndarray]] = None,
+        mesh=None,
+        run=None,
+        student: Optional[ModelBundle] = None,
+        teacher: Optional[ModelBundle] = None,
+        teacher_params: Optional[Any] = None,
+        seed: Optional[int] = None,
+    ):
+        self.hp = dict(hparams)
+        self.dist = get_dist_info()
+        self.mesh = mesh if mesh is not None else make_mesh(
+            model=int(self.hp.get("model_parallel", 1))
+        )
+        self.run = run if run is not None else NullRun()
+        seed = int(self.hp["seed"] if seed is None else seed)
+        self.rng = jax.random.key(seed)
+        image_size = int(self.hp["image_size"])
+        self.image_size = image_size
+        self.text_dim = int(self.hp.get("text_dim", 512))
+        self.num_queries = int(self.hp.get("num_queries", 4))
+
+        data_size = self.mesh.shape.get("data", 1)
+        for key in ("batch_size", "eval_batch_size"):
+            b = int(self.hp.get(key, 64) if key == "eval_batch_size"
+                    else self.hp[key])
+            if b % data_size:
+                self.hp[key] = -(-b // data_size) * data_size
+
+        # ---- models: detector teacher (frozen) + detector student ----
+        geo = {
+            k: self.hp[k]
+            for k in ("patch_size", "embed_dim", "depth", "num_heads",
+                      "mlp_ratio")
+            if k in self.hp
+        }
+        self.teacher = teacher if teacher is not None else create_model(
+            "owlv2_base_detector", image_size=image_size,
+            text_dim=self.text_dim, dtype=jnp.bfloat16, **geo,
+        )
+        base = student if student is not None else create_model(
+            "owlv2_pruned_detector", image_size=image_size,
+            text_dim=self.text_dim, **geo,
+        )
+        qconfig = default_qat_qconfig(self.hp.get("qat_backend", "qnnpack"))
+        from qat_vit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        model_size = self.mesh.shape.get(MODEL_AXIS, 1)
+        if model_size != 1:
+            raise ValueError("detection training supports pure-DP meshes only")
+        self.use_shard_map = self.mesh.devices.size > 1
+        if self.use_shard_map:
+            qconfig = dataclasses.replace(
+                qconfig,
+                activation=dataclasses.replace(
+                    qconfig.activation, axis_name=DATA_AXIS
+                ),
+            )
+        qat_dtype = (
+            jnp.bfloat16 if self.hp.get("qat_amp", False) else jnp.float32
+        )
+        fast = bool(self.hp.get("amp_fast_math", True))
+        dtype = jnp.bfloat16 if self.hp.get("amp", True) else jnp.float32
+        attn_kernel = self.mesh.devices.size == 1 or self.use_shard_map
+        from qat_vit_tpu.models.owlv2_detect import Owlv2Detector
+
+        self.student_qat_cfg = dataclasses.replace(
+            base.cfg, quant=qconfig, qat_wrapper=True, dtype=qat_dtype,
+            fast_math=fast and qat_dtype == jnp.bfloat16,
+            attn_kernel=attn_kernel,
+        )
+        self.student_float_cfg = dataclasses.replace(
+            base.cfg, quant=None, qat_wrapper=False, dtype=dtype,
+            fast_math=fast and dtype == jnp.bfloat16,
+            attn_kernel=attn_kernel,
+        )
+        self.student_float = Owlv2Detector(
+            self.student_float_cfg, text_dim=self.text_dim
+        )
+        self.student_qat = Owlv2Detector(
+            self.student_qat_cfg, text_dim=self.text_dim
+        )
+
+        # ---- parameters ----
+        rng_t, rng_s, rng_q, self.rng = jax.random.split(self.rng, 4)
+        repl = replicated_sharding(self.mesh)
+        ex_x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        ex_q = jnp.zeros((1, self.num_queries, self.text_dim), jnp.float32)
+        if teacher_params is None and self.hp.get("teacher_ckpt"):
+            from qat_vit_tpu.utils.checkpoint import load_checkpoint
+
+            teacher_params = load_checkpoint(self.hp["teacher_ckpt"])
+            if "params" in teacher_params:
+                teacher_params = teacher_params["params"]
+            logger.info("loaded teacher detector from %s",
+                        self.hp["teacher_ckpt"])
+        if teacher_params is None:
+            teacher_params = _unbox(
+                self.teacher.module.init(rng_t, ex_x, ex_q, observe=False)
+            )["params"]
+            logger.warning(
+                "teacher detector is randomly initialized (no teacher_ckpt; "
+                "real deployments convert an HF Owlv2ForObjectDetection "
+                "checkpoint via models.owlv2_detect.owlv2_detection_to_params)"
+            )
+        self.teacher_params = jax.device_put(
+            jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
+                         teacher_params),
+            repl,
+        )
+        params = _unbox(
+            self.student_float.init(rng_s, ex_x, ex_q, observe=False)
+        )["params"]
+        params = jax.device_put(params, repl)
+
+        # fixed query embeddings for the run (unit-norm, seeded)
+        q = jax.random.normal(
+            rng_q, (self.num_queries, self.text_dim), jnp.float32
+        )
+        self.queries = np.asarray(q / jnp.linalg.norm(q, axis=-1, keepdims=True))
+
+        # ---- optimizer + state ----
+        self.tx = make_optimizer(
+            float(self.hp["lr"]),
+            float(self.hp["weight_decay"]),
+            float(self.hp.get("grad_clip_norm", 1.0)),
+        )
+        opt_state = set_optimizer_hyperparams(
+            self.tx.init(params),
+            learning_rate=float(self.hp["lr"]),
+            weight_decay=float(self.hp["weight_decay"]),
+        )
+        self.state = TrainState(
+            params=params,
+            opt_state=jax.device_put(opt_state, repl),
+            quant_stats=None,
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.qat_enabled = False
+        self.loss_hp = detect_loss_hparams(self.hp)
+
+        # ---- compiled steps ----
+        def teacher_apply(p, x, q):
+            return self.teacher.module.apply({"params": p}, x, q,
+                                             observe=False)
+
+        step_mesh = self.mesh if self.use_shard_map else None
+        self.train_step_float = make_detect_train_step(
+            teacher_apply, self.student_float.apply, self.tx,
+            qat=False, image_size=image_size, mesh=step_mesh,
+        )
+        self.train_step_qat = make_detect_train_step(
+            teacher_apply, self.student_qat.apply, self.tx,
+            qat=True, image_size=image_size, mesh=step_mesh, qconfig=qconfig,
+        )
+        self.eval_step_float = make_detect_eval_step(
+            teacher_apply, self.student_float.apply,
+            qat=False, image_size=image_size, mesh=step_mesh,
+        )
+        self.eval_step_qat = make_detect_eval_step(
+            teacher_apply, self.student_qat.apply,
+            qat=True, image_size=image_size, mesh=step_mesh,
+        )
+
+        # ---- data: images only (teacher supplies the targets) ----
+        if data is None:
+            data, source = load_cifar10(self.hp.get("data_dir", "./data"))
+            logger.info("detection image source: %s", source)
+        self.data = data
+        self.train_loader = ArrayLoader(
+            data["train_images"], data["train_labels"],
+            batch_size=int(self.hp["batch_size"]),
+            shuffle=True, seed=seed,
+            rank=self.dist.rank, world_size=self.dist.world_size,
+            drop_last=True,
+        )
+        self.eval_loader = ArrayLoader(
+            data["test_images"], data["test_labels"],
+            batch_size=int(self.hp.get("eval_batch_size", 64)),
+            shuffle=False, drop_last=True, prefetch=2,
+        )
+
+    # ------------------------------------------------------------------
+    def enable_qat(self) -> None:
+        """Same phase switch as KDQATTrainer.enable_qat (fresh observers,
+        fresh moments at LR×qat_lr_scale, swap compiled steps)."""
+        if self.qat_enabled:
+            return
+        repl = replicated_sharding(self.mesh)
+        quant_stats = jax.device_put(
+            init_quant_stats(self.student_qat, self.student_qat_cfg), repl
+        )
+        lr = float(self.hp["lr"]) * float(self.hp.get("qat_lr_scale", 0.5))
+        opt_state = set_optimizer_hyperparams(
+            self.tx.init(self.state.params),
+            learning_rate=lr, weight_decay=float(self.hp["weight_decay"]),
+        )
+        self.state = TrainState(
+            params=self.state.params,
+            opt_state=jax.device_put(opt_state, repl),
+            quant_stats=quant_stats,
+            step=self.state.step,
+        )
+        self.qat_enabled = True
+        logger.info("detection QAT enabled (lr -> %.3g)", lr)
+
+    # ------------------------------------------------------------------
+    def _with_queries(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        b = len(batch["image"])
+        return {
+            "image": batch["image"],
+            "query_embeds": np.broadcast_to(
+                self.queries[None], (b, self.num_queries, self.text_dim)
+            ).copy(),
+        }
+
+    def train_epoch(self, epoch: int, limit_batches: int = 0) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        step_fn = self.train_step_qat if self.qat_enabled else self.train_step_float
+        metrics_acc = []
+        n_images = 0
+        t0 = time.perf_counter()
+        for i, batch in enumerate(self.train_loader):
+            if limit_batches and i >= limit_batches:
+                break
+            gbatch = shard_batch(self._with_queries(batch), self.mesh)
+            self.state, metrics = step_fn(
+                self.state, self.teacher_params, gbatch, self.loss_hp
+            )
+            metrics_acc.append(metrics)
+            n_images += int(self.hp["batch_size"]) * self.dist.world_size
+        jax.block_until_ready(self.state.params)
+        dt = time.perf_counter() - t0
+        if not metrics_acc:
+            return {"imgs_per_sec": 0.0, "epoch_seconds": dt}
+        stacked = jax.device_get(metrics_acc)
+        out = {k: float(np.mean([m[k] for m in stacked])) for k in stacked[0]}
+        out["imgs_per_sec"] = n_images / max(dt, 1e-9)
+        out["epoch_seconds"] = dt
+        return out
+
+    def evaluate(self, limit_batches: int = 0) -> Dict[str, float]:
+        """Teacher-relative detection metrics over the eval images."""
+        step_fn = self.eval_step_qat if self.qat_enabled else self.eval_step_float
+        sums = {"box_err_sum": 0.0, "agree_sum": 0.0, "n": 0.0}
+        for i, batch in enumerate(self.eval_loader):
+            if limit_batches and i >= limit_batches:
+                break
+            gbatch = shard_batch(self._with_queries(batch), self.mesh)
+            out = jax.device_get(step_fn(
+                self.state.params, self.state.quant_stats,
+                self.teacher_params, gbatch,
+            ))
+            for k in sums:
+                sums[k] += float(out[k])
+        n = max(sums["n"], 1.0)
+        return {"box_err": sums["box_err_sum"] / n,
+                "teacher_agreement": sums["agree_sum"] / n}
+
+    # ------------------------------------------------------------------
+    def convert_int8(self) -> Dict[str, Any]:
+        """Observer folding → int8 detection export (tower int8 + float heads)."""
+        if not self.qat_enabled:
+            raise RuntimeError("convert requires QAT to have run")
+        return convert_detector(
+            jax.device_get(self.state.params),
+            jax.device_get(self.state.quant_stats),
+            self.student_qat_cfg,
+            per_channel_weights=bool(self.hp.get("per_channel_weights", False)),
+        )
+
+    def evaluate_int8(self, export=None, limit_batches: int = 0) -> Dict[str, float]:
+        """Int8 detector vs the fake-quant detector it was converted from:
+        mean |Δbox| and top-box agreement (the detection analog of the
+        classification quant_acc row)."""
+        export = export if export is not None else self.convert_int8()
+        cfg = self.student_qat_cfg
+        from qat_vit_tpu.data.pipeline import preprocess
+
+        @jax.jit
+        def fq_fwd(params, qs, x, q):
+            return self.student_qat.apply(
+                {"params": params, "quant_stats": qs}, x, q, observe=False)
+
+        @jax.jit
+        def i8_fwd(export, x, q):
+            return int8_detect_apply(export, x, cfg, q,
+                                     text_dim=self.text_dim)
+
+        sums = {"box_err": 0.0, "agree": 0.0, "n": 0.0}
+        for i, batch in enumerate(self.eval_loader):
+            if limit_batches and i >= limit_batches:
+                break
+            b = self._with_queries(batch)
+            x = preprocess(jnp.asarray(b["image"]), size=self.image_size)
+            q = jnp.asarray(b["query_embeds"])
+            fq = fq_fwd(self.state.params, self.state.quant_stats, x, q)
+            i8 = i8_fwd(export, x, q)
+            sums["box_err"] += float(jnp.mean(jnp.abs(
+                fq["pred_boxes"] - i8["pred_boxes"]))) * len(x)
+            sums["agree"] += float(jnp.mean(
+                (jnp.argmax(fq["logits"], axis=1)
+                 == jnp.argmax(i8["logits"], axis=1)).astype(jnp.float32)
+            )) * len(x)
+            sums["n"] += len(x)
+        n = max(sums["n"], 1.0)
+        return {"int8_box_err": sums["box_err"] / n,
+                "int8_top_box_agreement": sums["agree"] / n}
+
+
+def detect_train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
+    """Final-training entry for --task detection (mirrors trainer.train_main)."""
+    dist = get_dist_info()
+    output_dir = hp["output_dir"]
+    if dist.is_main_process:
+        os.makedirs(output_dir, exist_ok=True)
+        save_effective_hparams(hp, output_dir)
+        tracker = make_tracker(hp["mlflow_uri"], hp["experiment"])
+        run = tracker.start_run("final_train_detection")
+        run.log_params(
+            {k: hp[k] for k in DEFAULT_HPARAMS if not isinstance(hp[k], dict)}
+        )
+    else:
+        run = NullRun()
+    barrier("dataset")
+
+    trainer = DetectKDTrainer(hp, run=run)
+    epochs = int(hp["epochs"])
+    qat_start = int(hp["qat_start_epoch"])
+    limit_train = int(hp.get("limit_train_batches", 0))
+    limit_eval = int(hp.get("limit_eval_batches", 0))
+    results = []
+    int8_metrics: Dict[str, float] = {}
+    for epoch in range(epochs):
+        if epoch >= qat_start:
+            trainer.enable_qat()
+        tm = trainer.train_epoch(epoch, limit_batches=limit_train)
+        barrier("epoch")
+        ev = trainer.evaluate(limit_batches=limit_eval)
+        last = epoch == epochs - 1
+        if last and trainer.qat_enabled:
+            export = trainer.convert_int8()
+            int8_metrics = trainer.evaluate_int8(export,
+                                                 limit_batches=limit_eval)
+            if dist.is_main_process:
+                save_checkpoint(
+                    os.path.join(output_dir, "best_converted_detector.msgpack"),
+                    export,
+                    {"epoch": epoch, "format": "int8-tower+float-heads",
+                     **int8_metrics},
+                )
+        if dist.is_main_process:
+            run.log_metrics(
+                {**{k: tm.get(k, 0.0) for k in
+                    ("train_loss", "train_loss_kd", "train_loss_box",
+                     "train_loss_obj")},
+                 **ev, "imgs_per_sec": tm["imgs_per_sec"],
+                 "qat_enabled": float(trainer.qat_enabled)},
+                step=epoch,
+            )
+            logger.info(
+                "epoch %d/%d loss %.4f box_err %.4f agree %.3f (%.0f img/s)%s",
+                epoch + 1, epochs, tm.get("train_loss", 0.0), ev["box_err"],
+                ev["teacher_agreement"], tm["imgs_per_sec"],
+                " [QAT]" if trainer.qat_enabled else "",
+            )
+            qs = trainer.state.quant_stats
+            save_checkpoint(
+                os.path.join(output_dir, "best_qat_detector.msgpack"),
+                {"params": jax.device_get(trainer.state.params),
+                 "quant_stats": jax.device_get(qs) if qs is not None else {}},
+                {"epoch": epoch, **ev},
+            )
+        results.append({"epoch": epoch, **tm, **ev})
+        barrier("epoch_end")
+
+    if dist.is_main_process:
+        for k, v in int8_metrics.items():
+            run.log_metric(k, v)
+        run.end("FINISHED")
+    return {"results": results, "int8": int8_metrics,
+            "output_dir": output_dir}

@@ -107,6 +107,7 @@ def make_train_step(
     donate: bool = True,
     observe: bool = True,
     mesh=None,
+    qconfig=None,
 ) -> Callable:
     """Build the jitted KD(+QAT) train step.
 
@@ -136,6 +137,30 @@ def make_train_step(
     """
     prep = preprocess_fn(image_size)
     axis = _data_axis(mesh)
+    if qat and axis is not None:
+        # Under shard_map (check_vma=False, out_specs P()) per-shard
+        # divergent observer stats would silently collapse to one shard's
+        # values unless the activation observers pmin/pmax over the data
+        # axis. The trainer sets FakeQuantConfig.axis_name; guard the API
+        # for direct callers (pass the student's qconfig to validate).
+        if qconfig is not None and qconfig.activation.axis_name != axis:
+            raise ValueError(
+                f"QAT train step runs under shard_map over axis {axis!r} "
+                f"but the activation observers have axis_name="
+                f"{qconfig.activation.axis_name!r}; set "
+                "FakeQuantConfig.axis_name to the data axis or observer "
+                "stats will silently lose global-batch semantics"
+            )
+        if qconfig is None:
+            import warnings
+
+            warnings.warn(
+                "make_train_step(qat=True, mesh=...) without qconfig=: "
+                "cannot verify the activation observers reduce over the "
+                f"data axis {axis!r} (FakeQuantConfig.axis_name); observer "
+                "stats silently lose global-batch semantics if unset",
+                stacklevel=2,
+            )
 
     def step(
         state: TrainState,
@@ -203,14 +228,13 @@ def make_train_step(
         return new_state, metrics
 
     if axis is not None:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        step = shard_map(
+        step = jax.shard_map(
             step, mesh=mesh,
             in_specs=(P(), P(), P(axis), P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -239,14 +263,13 @@ def make_eval_step(
         return correct
 
     if axis is not None:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        step = shard_map(
+        step = jax.shard_map(
             step, mesh=mesh,
             in_specs=(P(), P(), P(axis)),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
     return jax.jit(step)
 

@@ -286,6 +286,7 @@ class KDQATTrainer:
         self.train_step_qat = shared.get("train_qat") or make_train_step(
             step_teacher, self.student_qat.apply, self.tx,
             qat=True, image_size=image_size, mesh=step_mesh,
+            qconfig=self.student_qat_cfg.quant,
         )
         self.eval_step_qat = shared.get("eval_qat") or make_eval_step(
             self.student_qat.apply, qat=True, image_size=image_size,
@@ -301,7 +302,7 @@ class KDQATTrainer:
             make_train_step(
                 step_teacher, self.student_qat.apply, self.tx,
                 qat=True, image_size=image_size, observe=False,
-                mesh=step_mesh,
+                mesh=step_mesh, qconfig=self.student_qat_cfg.quant,
             ) if self.observer_interval > 1 else None
         )
         self._qat_py_step = 0  # QAT steps taken (host-side, for the interval)
@@ -898,6 +899,13 @@ def main(argv=None) -> None:
     add_hparam_flags(parser)
     args = parser.parse_args(argv)
     hp = resolve_hparams(args)
+    if hp.get("task") == "detection":
+        # detection-model KD (beyond-reference: the reference's trainer
+        # crashes on its own OWLv2 entries — ref model_registry.py:370-426)
+        from qat_vit_tpu.train.detect_trainer import detect_train_main
+
+        detect_train_main(hp)
+        return
     train_main(hp)
 
 

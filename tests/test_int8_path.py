@@ -135,12 +135,12 @@ class TestInt8Matmul:
         assert out.shape == (2, 17, 128)
 
 
-def _trained_micro_qat(steps=8, seed=0):
+def _trained_micro_qat(steps=8, seed=0, backend="qnnpack"):
     """Init a micro QAT ViT and run a few observe-forward passes so observers
     hold realistic statistics."""
     cfg = ViTConfig(
         num_classes=10, image_size=32, patch_size=8, embed_dim=128, depth=2,
-        num_heads=2, quant=default_qat_qconfig(), qat_wrapper=True,
+        num_heads=2, quant=default_qat_qconfig(backend), qat_wrapper=True,
     )
     model = VisionTransformer(cfg)
     rng = np.random.default_rng(seed)
@@ -420,3 +420,82 @@ class TestPTQ:
             jax.random.key(0), jnp.zeros((1, 32, 32, 3)), observe=False))["params"]
         with pytest.raises(ValueError, match="at least one batch"):
             calibrate(params, [], cfg)
+
+
+class TestFbgemmGrid:
+    """The reduced-range (fbgemm, activations [0, 127]) export path — the
+    qconfig the reference could also select (ref qat_trainer.py:293,306 via
+    the backend string; fbgemm sets reduce_range=True on activations)."""
+
+    def test_quantize_respects_reduced_grid(self):
+        """With quant_max=127 no stored value may exceed 127-128=-1, and the
+        round-trip over the observed range stays within one grid step."""
+        s, zp = qparams_affine(jnp.float32(-1.0), jnp.float32(3.0),
+                               quant_min=0, quant_max=127)
+        x = jnp.linspace(-2.0, 6.0, 257)  # deliberately overshoots the range
+        q = quantize_act_shifted(x, s, zp, quant_max=127.0)
+        qn = np.asarray(q, np.int32)
+        assert qn.max() <= 127 - 128 and qn.min() >= -128
+        # dequant tracks x inside the observed range
+        deq = (qn + 128.0 - float(zp)) * float(s)
+        inside = (np.asarray(x) >= -1.0) & (np.asarray(x) <= 3.0)
+        np.testing.assert_allclose(
+            deq[inside], np.asarray(x)[inside], atol=float(s) * 0.51)
+
+    def test_train_convert_eval_fbgemm(self):
+        """End-to-end at fbgemm ranges: observe → convert → int8 forward
+        tracks the fake-quant model (mirrors the qnnpack test above)."""
+        import flax.linen as nn
+
+        model, cfg, params, qs = _trained_micro_qat(backend="fbgemm")
+        qp = convert_vit(nn.meta.unbox(params), qs, cfg)
+        # the export records the grid it was converted for
+        assert float(qp["input_q"]["quant_max"]) == 127.0
+        assert float(qp["norm"]["out_q"]["quant_max"]) == 127.0
+        rng = np.random.default_rng(42)
+        x = jnp.asarray(rng.normal(size=(16, 32, 32, 3)).astype(np.float32))
+        fq = np.asarray(model.apply(
+            {"params": params, "quant_stats": qs}, x, observe=False))
+        i8 = np.asarray(int8_apply(qp, x, cfg, use_pallas=False))
+        corr = np.corrcoef(fq.ravel(), i8.ravel())[0, 1]
+        assert corr > 0.98, corr
+        agree = (fq.argmax(-1) == i8.argmax(-1)).mean()
+        assert agree >= 0.8, agree
+
+    def test_fbgemm_mixed_none_matches_exact(self):
+        """The XLA-quantize fused chain (mixed_none) is grid-safe: its
+        quantizes read the export's quant_max."""
+        import flax.linen as nn
+
+        model, cfg, params, qs = _trained_micro_qat(backend="fbgemm", seed=5)
+        qp = convert_vit(nn.meta.unbox(params), qs, cfg)
+        x = jnp.asarray(np.random.default_rng(6).normal(
+            size=(8, 32, 32, 3)).astype(np.float32))
+        exact = np.asarray(int8_apply(qp, x, cfg, use_pallas=False))
+        mixed = np.asarray(int8_apply(qp, x, cfg, fused="mixed_none"))
+        agree = (exact.argmax(-1) == mixed.argmax(-1)).mean()
+        assert agree >= 0.9, agree
+
+    def test_fbgemm_rejects_baked_grid_kernels(self):
+        """Fused modes whose Pallas epilogues bake the 0..255 grid must
+        refuse reduced-range exports loudly."""
+        import flax.linen as nn
+
+        model, cfg, params, qs = _trained_micro_qat(backend="fbgemm", seed=5)
+        qp = convert_vit(nn.meta.unbox(params), qs, cfg)
+        x = jnp.zeros((4, 32, 32, 3), jnp.float32)
+        for mode in ("pallas", "mixed", "megamodel:2:tight"):
+            with pytest.raises(NotImplementedError, match="0..255|grid"):
+                int8_apply(qp, x, cfg, fused=mode)
+        with pytest.raises(NotImplementedError, match="0..255|grid"):
+            int8_apply(qp, x, cfg, fused="mixed_none", attn_impl="pallas_fused")
+
+    def test_fbgemm_preset_avoids_baked_rungs(self):
+        """serving_preset's kernel selection must not hand a reduced-grid
+        config a baked-255 rung (backend-independent gate, testable on CPU)."""
+        from qat_vit_tpu.serve.int8_vit import _preset_kernel_opts
+
+        cfg = ViTConfig(quant=default_qat_qconfig("fbgemm"), qat_wrapper=True)
+        opts = _preset_kernel_opts(cfg)
+        assert "megamodel" not in opts.get("fused", "")
+        assert opts.get("attn_impl") != "pallas_fused"
