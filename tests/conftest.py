@@ -27,3 +27,57 @@ jax.config.update("jax_platforms", "cpu")
 assert len(jax.devices()) == 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()}"
 )
+
+# ---------------------------------------------------------------------------
+# Per-test hang watchdog. The suite once wedged at ~42% with every thread in
+# futex wait (zero CPU, no output) — a state SIGALRM-style timeouts can't
+# interrupt because the main thread never re-enters the interpreter.
+# ``faulthandler.dump_traceback_later`` runs on its own C watchdog thread, so
+# it fires regardless: after TIMEOUT seconds in ONE test it dumps every
+# thread's stack to stderr and exits the process — a diagnosable failure
+# instead of an indefinite hang. Generous default (the multihost test runs
+# ~3 min; heavy interpret-mode kernel tests a few more); override per test
+# with @pytest.mark.timeout_s(N) or the QVT_TEST_TIMEOUT env var.
+# ---------------------------------------------------------------------------
+import faulthandler  # noqa: E402
+import tempfile  # noqa: E402
+
+import pytest  # noqa: E402
+
+_DEFAULT_TEST_TIMEOUT = float(os.environ.get("QVT_TEST_TIMEOUT", 900))
+# pytest's fd-level capture swallows anything written to fd 2 during a test
+# (and discards it when faulthandler _exit()s), so the dump goes to a stable
+# on-disk file announced in the session header.
+_WATCHDOG_DUMP = os.path.join(
+    tempfile.gettempdir(), f"qvt_test_watchdog_{os.getpid()}.dump"
+)
+_watchdog_file = open(_WATCHDOG_DUMP, "w")
+
+
+def pytest_report_header(config):
+    return (
+        f"hang watchdog: per-test cap {_DEFAULT_TEST_TIMEOUT:.0f}s "
+        f"(QVT_TEST_TIMEOUT / @pytest.mark.timeout_s); on expiry all thread "
+        f"stacks dump to {_WATCHDOG_DUMP} and the run exits"
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout_s(seconds): per-test hang-watchdog override "
+        "(default 900s; dumps all stacks and exits on expiry)",
+    )
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout_s")
+    timeout = float(marker.args[0]) if marker else _DEFAULT_TEST_TIMEOUT
+    _watchdog_file.write(f"== watchdog armed: {item.nodeid} ({timeout:.0f}s)\n")
+    _watchdog_file.flush()
+    faulthandler.dump_traceback_later(timeout, exit=True, file=_watchdog_file)
+    try:
+        yield
+    finally:
+        faulthandler.cancel_dump_traceback_later()
