@@ -28,6 +28,7 @@ import dataclasses
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,6 +84,15 @@ class ViTConfig:
     # all-gathered and replicate the attention work on every chip — the
     # XLA einsum form (which GSPMD shards exactly) is faster there.
     attn_kernel: bool = True
+    # Per-block rematerialization (jax.checkpoint via nn.remat): trade HBM
+    # activation traffic for recompute — the training step is bandwidth-
+    # bound (GEMM chain ~20 ms of a ~102 ms QAT step), so recomputing cheap
+    # elementwise intermediates in the backward can win wall-clock.
+    # "none" (default) stores all residuals; "dots" saves matmul outputs and
+    # recomputes elementwise chains (LN/GELU/fake-quant masks); "full"
+    # recomputes the whole block from its input. Measured in
+    # scripts/train_step_bench.py (docs/BENCHMARKS.md round 4).
+    remat: str = "none"
 
     @property
     def num_patches(self) -> int:
@@ -297,6 +307,9 @@ class Attention(nn.Module):
             # activation traffic of the train step — train_step_bench.py)
             out = attention_train(qkv_packed, h, hd,
                                   interpret=forced_interpret())
+            # saveable under remat="dots": recomputing the attention kernel
+            # in the backward would double its cost for no traffic saving
+            out = jax.ad_checkpoint.checkpoint_name(out, "attn_kernel_out")
         elif (
             cfg.fast_math
             and cfg.attn_kernel
@@ -308,6 +321,7 @@ class Attention(nn.Module):
             # for the backward (~850 MB at OWLv2-pruned batch 8)
             out = long_attention_train(qkv_packed, h, hd,
                                        interpret=forced_interpret())
+            out = jax.ad_checkpoint.checkpoint_name(out, "attn_kernel_out")
         else:
             qkv = qkv_packed.reshape(B, N, 3, h, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, hd]
@@ -358,12 +372,15 @@ class Mlp(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-norm transformer block: x + Attn(LN(x)); x + MLP(LN(x))."""
+    """Pre-norm transformer block: x + Attn(LN(x)); x + MLP(LN(x)).
+
+    ``observe`` is positional-or-keyword so the block composes with
+    ``nn.remat`` (static_argnums cannot name keyword-only arguments)."""
 
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, observe: bool = False) -> jnp.ndarray:
         cfg = self.cfg
         y = QuantLayerNorm(
             quant=cfg.quant, eps=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm1"
@@ -419,8 +436,31 @@ class VisionTransformer(nn.Module):
                 quant=cfg.quant, eps=cfg.layer_norm_eps, dtype=cfg.dtype,
                 name="norm_pre",
             )(x, observe=observe)
-        for i in range(cfg.depth):
-            x = Block(cfg, name=f"blocks_{i}")(x, observe=observe)
+        if cfg.remat == "none":
+            for i in range(cfg.depth):
+                x = Block(cfg, name=f"blocks_{i}")(x, observe=observe)
+        else:
+            # rematerialized blocks: the backward recomputes intermediates
+            # instead of reading stored residuals from HBM (the QAT step is
+            # bandwidth-bound, ~20 ms of MXU work in a ~102 ms step).
+            # "dots": matmul outputs AND the Pallas attention kernel's
+            # output (named below) stay saved — only the cheap elementwise
+            # chains (LN, GELU, fake-quant masks) recompute. "full":
+            # everything but the block input recomputes.
+            if cfg.remat == "dots":
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "attn_kernel_out"
+                    ),
+                )
+            elif cfg.remat == "full":
+                policy = None  # nothing saveable
+            else:
+                raise ValueError(f"unknown remat mode {cfg.remat!r}")
+            BlockR = nn.remat(Block, policy=policy, static_argnums=(2,))
+            for i in range(cfg.depth):
+                x = BlockR(cfg, name=f"blocks_{i}")(x, observe)
         x = QuantLayerNorm(
             quant=cfg.quant, eps=cfg.layer_norm_eps, dtype=cfg.dtype, name="norm"
         )(x, observe=observe)

@@ -89,6 +89,12 @@ def _long_block_impl(
     # probes): dropping a phase makes the numerics garbage but isolates that
     # phase's cost on-chip. Production callers never pass it.
     d = num_heads * head_dim
+    bb = zq_ref.shape[0]  # images per grid step (cross-image pipelining:
+    # each loop body computes the SAME stripe/chunk for every resident
+    # image — independent dataflow chains the Mosaic scheduler can overlap,
+    # e.g. image 0's softmax (VPU) against image 1's score dot (MXU). The
+    # round-3 analysis measured ~12 ms of in-kernel serialization at
+    # OWLv2-pruned batch 8 from one-image-per-grid-step.)
     n_pad = zq_ref.shape[1]
     scale = head_dim**-0.5
     n_chunks = n_pad // row_chunk
@@ -130,15 +136,18 @@ def _long_block_impl(
 
     # ---- phase 1: qkv GEMM, row-chunked, into the resident bf16 scratch ----
     def qkv_chunk(c, _):
-        rows = zq_ref[0, pl.ds(c * row_chunk, row_chunk), :]
-        acc = jnp.dot(rows, w["wqkv"], preferred_element_type=jnp.int32)
-        y = _dequant(acc, w["cs_qkv"], w["ws_qkv"], w["b_qkv"], s1, z1 - 128)
-        qkv_scr[pl.ds(c * row_chunk, row_chunk), :] = y.astype(qkv_scr.dtype)
-        if int8_scores:
-            # q,k on the qkv out_q int8 grid (the fake-quant site the QAT
-            # graph trains through) — feeds the int8 score dot in phase 2
-            qk8_scr[pl.ds(c * row_chunk, row_chunk), :] = _q8(
-                y[:, : 2 * d], inv_so, zp_o)
+        for img in range(bb):
+            rows = zq_ref[img, pl.ds(c * row_chunk, row_chunk), :]
+            acc = jnp.dot(rows, w["wqkv"], preferred_element_type=jnp.int32)
+            y = _dequant(acc, w["cs_qkv"], w["ws_qkv"], w["b_qkv"], s1,
+                         z1 - 128)
+            qkv_scr[img, pl.ds(c * row_chunk, row_chunk), :] = y.astype(
+                qkv_scr.dtype)
+            if int8_scores:
+                # q,k on the qkv out_q int8 grid (the fake-quant site the QAT
+                # graph trains through) — feeds the int8 score dot in phase 2
+                qk8_scr[img, pl.ds(c * row_chunk, row_chunk), :] = _q8(
+                    y[:, : 2 * d], inv_so, zp_o)
         return _
 
     if "qkv" in phases:
@@ -150,51 +159,60 @@ def _long_block_impl(
     zq8 = z_o - 128  # qkv out_q zero point on the shifted-int8 grid
     for h in range(num_heads if "attn" in phases else 0):
         qo, ko, vo = h * head_dim, d + h * head_dim, 2 * d + h * head_dim
-        # one O(N*hd) lane-slice per head; resident across all q stripes
-        v_h = qkv_scr[:n_kpad, vo : vo + head_dim]
-        if int8_scores:
-            k8_h = qk8_scr[:n_kpad, ko : ko + head_dim]
-            # key-side affine correction row for the int8 dot (see stripe)
-            rsk = jnp.sum(k8_h.astype(jnp.int32), axis=1).reshape(1, n_kpad)
-            k_h = None
-        else:
-            k_h = qkv_scr[:n_kpad, ko : ko + head_dim]
-            k8_h = rsk = None
-
-        def stripe(i, _, k_h=k_h, v_h=v_h, k8_h=k8_h, rsk=rsk, qo=qo, h=h):
+        # one O(N*hd) lane-slice per (head, image); resident across stripes
+        kv = []
+        for img in range(bb):
+            v_h = qkv_scr[img, :n_kpad, vo : vo + head_dim]
             if int8_scores:
-                # exact on the int8 grid: x = s_o (q8 - z'), so
-                # (x_q . x_k) = s_o^2 (q8.k8 - z'(rowsum_q + rowsum_k)
-                #                      + hd z'^2); int8xint8 dots run the MXU
-                # at 2x the bf16 rate, halving the K=64-bound score cost
-                q8 = qk8_scr[pl.ds(i * q_tile, q_tile), qo : qo + head_dim]
-                acc = jax.lax.dot_general(
-                    q8, k8_h,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )  # [q_tile, n_kpad]
-                rsq = jnp.sum(q8.astype(jnp.int32), axis=1, keepdims=True)
-                corr = acc - zq8 * (rsq + rsk) + head_dim * zq8 * zq8
-                s = corr.astype(jnp.float32) * (s_o * s_o
-                                                * jnp.float32(scale))
+                k8_h = qk8_scr[img, :n_kpad, ko : ko + head_dim]
+                # key-side affine correction row for the int8 dot (see stripe)
+                rsk = jnp.sum(k8_h.astype(jnp.int32), axis=1).reshape(
+                    1, n_kpad)
+                kv.append((v_h, None, k8_h, rsk))
             else:
-                q = qkv_scr[pl.ds(i * q_tile, q_tile), qo : qo + head_dim]
-                s = jax.lax.dot_general(
-                    q * jnp.asarray(scale, q.dtype), k_h,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [q_tile, n_kpad]
-            s = jnp.where(key_mask, s, jnp.float32(-1e30))
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_h.dtype)
-            o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
-            o_scr[pl.ds(i * q_tile, q_tile), h * head_dim : (h + 1) * head_dim] = o
+                kv.append((v_h, qkv_scr[img, :n_kpad, ko : ko + head_dim],
+                           None, None))
+
+        def stripe(i, _, kv=kv, qo=qo, h=h):
+            for img in range(bb):
+                v_h, k_h, k8_h, rsk = kv[img]
+                if int8_scores:
+                    # exact on the int8 grid: x = s_o (q8 - z'), so
+                    # (x_q . x_k) = s_o^2 (q8.k8 - z'(rowsum_q + rowsum_k)
+                    #                      + hd z'^2); int8xint8 dots run the
+                    # MXU at 2x the bf16 rate
+                    q8 = qk8_scr[img, pl.ds(i * q_tile, q_tile),
+                                 qo : qo + head_dim]
+                    acc = jax.lax.dot_general(
+                        q8, k8_h,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )  # [q_tile, n_kpad]
+                    rsq = jnp.sum(q8.astype(jnp.int32), axis=1, keepdims=True)
+                    corr = acc - zq8 * (rsq + rsk) + head_dim * zq8 * zq8
+                    s = corr.astype(jnp.float32) * (s_o * s_o
+                                                    * jnp.float32(scale))
+                else:
+                    q = qkv_scr[img, pl.ds(i * q_tile, q_tile),
+                                qo : qo + head_dim]
+                    s = jax.lax.dot_general(
+                        q * jnp.asarray(scale, q.dtype), k_h,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [q_tile, n_kpad]
+                s = jnp.where(key_mask, s, jnp.float32(-1e30))
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_h.dtype)
+                o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+                o_scr[img, pl.ds(i * q_tile, q_tile),
+                      h * head_dim : (h + 1) * head_dim] = o
             return _
 
         # unrolling exposes independent stripes to Mosaic's dataflow
         # scheduler: stripe i's softmax (VPU) can overlap stripe i+1's score
-        # dot (MXU)
+        # dot (MXU); with bb > 1 each slot already carries bb independent
+        # image chains
         _grouped(n_stripes, stripe_unroll, stripe)
 
     # ---- phase 3: proj(+res+LN2+q) -> fc1(+act+q) -> fc2(+res+LN'+q), ------
@@ -206,30 +224,31 @@ def _long_block_impl(
 
     def mlp_chunk(c, _):
         rows = pl.ds(c * row_chunk, row_chunk)
-        o_q = _q8(o_scr[rows, :], inv_so, zp_o)
-        acc = jnp.dot(o_q, w["wproj"], preferred_element_type=jnp.int32)
-        p_out = _dequant(acc, w["cs_proj"], w["ws_proj"], w["b_proj"], s_o,
-                         z_o - 128)
-        x_mid = x_ref[0, rows, :].astype(jnp.float32) + p_out
-        zq2 = _q8(_ln(x_mid, w["g2"], w["b2"], eps), inv_s2, zp_2)
-        acc = jnp.dot(zq2, w["wfc1"], preferred_element_type=jnp.int32)
-        f1 = _dequant(acc, w["cs_fc1"], w["ws_fc1"], w["b_fc1"], s_2,
-                      z_2 - 128)
-        g_q = _q8(_act_fn(f1, act), inv_sg, zp_g)
-        acc = jnp.dot(g_q, w["wfc2"], preferred_element_type=jnp.int32)
-        f2 = _dequant(acc, w["cs_fc2"], w["ws_fc2"], w["b_fc2"], s_g,
-                      z_g - 128)
-        x_out = x_mid + f2
-        xout_ref[0, rows, :] = x_out.astype(xout_ref.dtype)
-        zqout_ref[0, rows, :] = _q8(_ln(x_out, w["gn"], w["bn"], eps),
-                                    inv_sn, zp_n)
+        for img in range(bb):
+            o_q = _q8(o_scr[img, rows, :], inv_so, zp_o)
+            acc = jnp.dot(o_q, w["wproj"], preferred_element_type=jnp.int32)
+            p_out = _dequant(acc, w["cs_proj"], w["ws_proj"], w["b_proj"],
+                             s_o, z_o - 128)
+            x_mid = x_ref[img, rows, :].astype(jnp.float32) + p_out
+            zq2 = _q8(_ln(x_mid, w["g2"], w["b2"], eps), inv_s2, zp_2)
+            acc = jnp.dot(zq2, w["wfc1"], preferred_element_type=jnp.int32)
+            f1 = _dequant(acc, w["cs_fc1"], w["ws_fc1"], w["b_fc1"], s_2,
+                          z_2 - 128)
+            g_q = _q8(_act_fn(f1, act), inv_sg, zp_g)
+            acc = jnp.dot(g_q, w["wfc2"], preferred_element_type=jnp.int32)
+            f2 = _dequant(acc, w["cs_fc2"], w["ws_fc2"], w["b_fc2"], s_g,
+                          z_g - 128)
+            x_out = x_mid + f2
+            xout_ref[img, rows, :] = x_out.astype(xout_ref.dtype)
+            zqout_ref[img, rows, :] = _q8(_ln(x_out, w["gn"], w["bn"], eps),
+                                          inv_sn, zp_n)
         return _
 
     if "mlp" in phases:
         _grouped(n_chunks, chunk_unroll, mlp_chunk)
     else:  # keep outputs written so the chained stack stays well-defined
-        xout_ref[0, :, :] = x_ref[0, :, :]
-        zqout_ref[0, :, :] = zq_ref[0, :, :]
+        xout_ref[:, :, :] = x_ref[:, :, :]
+        zqout_ref[:, :, :] = zq_ref[:, :, :]
 
 
 def _split_refs(refs):
@@ -277,16 +296,17 @@ def _long_model_kernel(zq_ref, x_ref, *refs, **kw):
     jax.jit,
     static_argnames=("num_heads", "head_dim", "mlp_dim", "act", "eps",
                      "n_valid", "q_tile", "row_chunk", "interpret", "phases",
-                     "stripe_unroll", "chunk_unroll", "int8_scores"),
+                     "stripe_unroll", "chunk_unroll", "int8_scores",
+                     "block_b"),
 )
 def _run_long_block(
     zq, x, args, qs, *, num_heads, head_dim, mlp_dim, act, eps, n_valid,
     q_tile, row_chunk, interpret, phases=("qkv", "attn", "mlp"),
-    stripe_unroll=1, chunk_unroll=1, int8_scores=False
+    stripe_unroll=1, chunk_unroll=1, int8_scores=False, block_b=1
 ):
     b, n_pad, d = zq.shape
     tile = lambda r: pl.BlockSpec(  # noqa: E731
-        (1, n_pad, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (block_b, n_pad, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     rowspec = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -317,15 +337,15 @@ def _run_long_block(
             jax.ShapeDtypeStruct((b, n_pad, d), jnp.int8),
         ),
         grid_spec=pl.GridSpec(
-            grid=(b,),
+            grid=(b // block_b,),
             in_specs=in_specs,
             out_specs=(tile(d), tile(d)),
             scratch_shapes=[
-                pltpu.VMEM((n_pad, 3 * d), jnp.bfloat16),  # packed qkv
-                pltpu.VMEM((n_pad, d), jnp.float32),  # attention output
+                pltpu.VMEM((block_b, n_pad, 3 * d), jnp.bfloat16),  # qkv
+                pltpu.VMEM((block_b, n_pad, d), jnp.float32),  # attn output
                 # int8 q,k for the int8 score dot (written/read only when
                 # int8_scores; a dormant ~3 MB otherwise)
-                pltpu.VMEM((n_pad, 2 * d), jnp.int8),
+                pltpu.VMEM((block_b, n_pad, 2 * d), jnp.int8),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -352,17 +372,18 @@ def _run_long_block(
     jax.jit,
     static_argnames=("num_heads", "head_dim", "mlp_dim", "act", "eps",
                      "n_valid", "q_tile", "row_chunk", "interpret",
-                     "stripe_unroll", "chunk_unroll", "int8_scores"),
+                     "stripe_unroll", "chunk_unroll", "int8_scores",
+                     "block_b"),
 )
 def _run_long_model(
     zq, x, args, qs, *, num_heads, head_dim, mlp_dim, act, eps, n_valid,
     q_tile, row_chunk, interpret, stripe_unroll=1, chunk_unroll=1,
-    int8_scores=False
+    int8_scores=False, block_b=1
 ):
     b, n_pad, d = zq.shape
     depth = qs.shape[0]
     tile = lambda r: pl.BlockSpec(  # noqa: E731
-        (1, n_pad, r), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        (block_b, n_pad, r), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
     )
     dstack = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
@@ -386,13 +407,13 @@ def _run_long_model(
             jax.ShapeDtypeStruct((b, n_pad, d), jnp.int8),
         ),
         grid_spec=pl.GridSpec(
-            grid=(b, depth),
+            grid=(b // block_b, depth),
             in_specs=in_specs,
             out_specs=(tile(d), tile(d)),
             scratch_shapes=[
-                pltpu.VMEM((n_pad, 3 * d), jnp.bfloat16),  # packed qkv
-                pltpu.VMEM((n_pad, d), jnp.float32),  # attention output
-                pltpu.VMEM((n_pad, 2 * d), jnp.int8),  # int8 q,k (optional)
+                pltpu.VMEM((block_b, n_pad, 3 * d), jnp.bfloat16),  # qkv
+                pltpu.VMEM((block_b, n_pad, d), jnp.float32),  # attn out
+                pltpu.VMEM((block_b, n_pad, 2 * d), jnp.int8),  # int8 q,k
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -431,10 +452,13 @@ def long_model_forward(
     stripe_unroll: int = 1,
     chunk_unroll: int = 1,
     int8_scores: bool = False,
+    block_b: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The ENTIRE long-sequence stack in ONE Pallas call (see
     `_long_model_kernel`); numerics identical to ``depth`` chained
-    :func:`long_block_forward` calls (bit-identity tested)."""
+    :func:`long_block_forward` calls (bit-identity tested). ``block_b``
+    keeps that many images resident per grid step for cross-image MXU/VPU
+    overlap (batch padded up to a multiple)."""
     d = num_heads * head_dim
     mlp_dim = blocks["0"]["fc1"]["w_int8"].shape[1]
     per = []
@@ -474,13 +498,21 @@ def long_model_forward(
     assert n_pad % q_tile == 0 and n_pad % row_chunk == 0, (
         n_pad, q_tile, row_chunk,
     )
-    return _run_long_model(
+    b = zq.shape[0]
+    block_b = min(block_b, b)
+    bpad = (-b) % block_b
+    if bpad:
+        zq = jnp.pad(zq, ((0, bpad), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, bpad), (0, 0), (0, 0)))
+    x_out, zq_out = _run_long_model(
         zq, x, tuple(stacked), qs_all, num_heads=num_heads,
         head_dim=head_dim, mlp_dim=mlp_dim, act=act, eps=eps,
         n_valid=n_valid, q_tile=q_tile, row_chunk=row_chunk,
         interpret=interpret, stripe_unroll=stripe_unroll,
         chunk_unroll=chunk_unroll, int8_scores=int8_scores,
+        block_b=block_b,
     )
+    return x_out[:b], zq_out[:b]
 
 
 def long_block_forward(
@@ -501,6 +533,7 @@ def long_block_forward(
     stripe_unroll: int = 1,
     chunk_unroll: int = 1,
     int8_scores: bool = False,
+    block_b: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full long-sequence ViT block in one Pallas call.
 
@@ -539,13 +572,20 @@ def long_block_forward(
     assert n_pad % q_tile == 0 and n_pad % row_chunk == 0, (
         n_pad, q_tile, row_chunk,
     )
-    return _run_long_block(
+    b = zq.shape[0]
+    block_b = min(block_b, b)
+    bpad = (-b) % block_b
+    if bpad:
+        zq = jnp.pad(zq, ((0, bpad), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, bpad), (0, 0), (0, 0)))
+    x_out, zq_out = _run_long_block(
         zq, x, args, qs, num_heads=num_heads, head_dim=head_dim,
         mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid, q_tile=q_tile,
         row_chunk=row_chunk, interpret=interpret, phases=phases,
         stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
-        int8_scores=int8_scores,
+        int8_scores=int8_scores, block_b=block_b,
     )
+    return x_out[:b], zq_out[:b]
 
 
 def long_megablock_pad(n: int, q_tile: int, row_chunk: int) -> int:
@@ -556,7 +596,8 @@ def long_megablock_pad(n: int, q_tile: int, row_chunk: int) -> int:
 
 
 def long_megablock_vmem_bytes(
-    n_pad: int, d: int, mlp_dim: int, q_tile: int, stripe_unroll: int
+    n_pad: int, d: int, mlp_dim: int, q_tile: int, stripe_unroll: int,
+    block_b: int = 1,
 ) -> int:
     """Coarse upper estimate of the kernel's VMEM working set.
 
@@ -569,10 +610,10 @@ def long_megablock_vmem_bytes(
     ``vmem_limit_bytes`` — the OWLv2-pruned geometry it was measured at
     (n_pad 2560, d 576) fits; owlv2_base at 960 px (n_pad 4096, d 768) with
     full unroll does not and must fall back."""
-    scratch = n_pad * 3 * d * 2 + n_pad * d * 4 + n_pad * 2 * d
-    acts = 2 * 2 * (n_pad * d * 1 + n_pad * d * 2)
+    scratch = block_b * (n_pad * 3 * d * 2 + n_pad * d * 4 + n_pad * 2 * d)
+    acts = block_b * 2 * 2 * (n_pad * d * 1 + n_pad * d * 2)
     weights = 2 * (d * 3 * d + d * d + 2 * d * mlp_dim)
-    stripes = stripe_unroll * q_tile * n_pad * 4
+    stripes = block_b * stripe_unroll * q_tile * n_pad * 4
     return scratch + acts + weights + stripes
 
 
@@ -581,7 +622,7 @@ _VMEM_LIMIT = 100 * 1024 * 1024  # the kernels' vmem_limit_bytes
 
 def long_megablock_pick_unroll(
     n_pad: int, d: int, mlp_dim: int, q_tile: int,
-    budget: int = _VMEM_LIMIT,
+    budget: int = _VMEM_LIMIT, block_b: int = 1,
 ) -> int:
     """Largest stripe_unroll (a divisor of the stripe count) whose estimated
     working set fits the budget; 0 if even unroll=1 does not fit (the caller
@@ -590,7 +631,9 @@ def long_megablock_pick_unroll(
     for su in range(n_stripes, 0, -1):
         if n_stripes % su:
             continue
-        if long_megablock_vmem_bytes(n_pad, d, mlp_dim, q_tile, su) <= budget:
+        if long_megablock_vmem_bytes(
+            n_pad, d, mlp_dim, q_tile, su, block_b
+        ) <= budget:
             return su
     return 0
 

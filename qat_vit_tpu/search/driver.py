@@ -70,6 +70,10 @@ class SearchConfig:
     # pretrained teacher weights (scripts/pretrain_teacher.py output); ""
     # keeps the random-init teacher (the reference's HF download needs network)
     teacher_ckpt: str = ""
+    # joint (optuna-style multivariate) TPE sampling for the in-repo sampler;
+    # the reference runs optuna multivariate=True (optuna_search.py:127), the
+    # in-repo default is univariate per the real-trial A/B (scripts/tpe_ab.py)
+    tpe_multivariate: bool = False
 
 
 def suggest_hparams(trial, cfg: SearchConfig) -> Dict[str, Any]:
@@ -212,7 +216,8 @@ def run_optuna_search(
         best_params, best_value = dict(study.best_params), study.best_value
     else:
         study = _tpe.create_study(direction="maximize", seed=cfg.seed,
-                                  n_startup_trials=5, n_warmup_steps=1)
+                                  n_startup_trials=5, n_warmup_steps=1,
+                                  multivariate=cfg.tpe_multivariate)
         study.optimize(objective, n_trials=cfg.trials, catch=(Exception,))
         best_params, best_value = study.best_params, study.best_value
 

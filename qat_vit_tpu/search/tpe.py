@@ -343,11 +343,14 @@ class Study:
 
 
 def create_study(direction: str = "maximize", seed: int = 0,
-                 n_startup_trials: int = 5, n_warmup_steps: int = 1) -> Study:
+                 n_startup_trials: int = 5, n_warmup_steps: int = 1,
+                 multivariate: bool = False) -> Study:
     """Factory with the reference's sampler/pruner settings
-    (optuna_search.py:127-129)."""
+    (optuna_search.py:127-129). ``multivariate`` selects joint vector
+    sampling (the reference's optuna setting); the in-repo default stays
+    univariate per the measured A/B (scripts/tpe_ab.py, docs/BENCHMARKS.md)."""
     return Study(
         direction=direction,
-        sampler=TPESampler(seed=seed),
+        sampler=TPESampler(seed=seed, multivariate=multivariate),
         pruner=MedianPruner(n_startup_trials, n_warmup_steps),
     )

@@ -345,17 +345,20 @@ def _fused_blocks(
 
     if mode.startswith("megablock_long") or mode.startswith("megamodel_long"):
         # mega{block,model}_long[:TQ[:RC[:flags...]]] — flags: i8 (int8
-        # score dots), suN / cuN (stripe / chunk unroll); megamodel_long
-        # fuses ALL blocks into one Pallas call (depth on the grid)
+        # score dots), suN / cuN (stripe / chunk unroll), bbN (images per
+        # grid step: cross-image MXU/VPU pipelining); megamodel_long fuses
+        # ALL blocks into one Pallas call (depth on the grid)
         parts = mode.split(":")
         tq = int(parts[1]) if len(parts) > 1 and parts[1] else 256
         rc = int(parts[2]) if len(parts) > 2 and parts[2] else 256
         flags = parts[3:]
         su = next((int(f[2:]) for f in flags if f.startswith("su")), 1)
         cu = next((int(f[2:]) for f in flags if f.startswith("cu")), 1)
+        bb = next((int(f[2:]) for f in flags if f.startswith("bb")), 1)
         return _megablock_long_stack(
             qp, x, cfg, compute_dtype=compute_dtype, q_tile=tq, row_chunk=rc,
             int8_scores="i8" in flags, stripe_unroll=su, chunk_unroll=cu,
+            block_b=bb,
             whole_model=mode.startswith("megamodel_long"),
         )
     if mode.startswith("megamodel") or mode.startswith("megablock"):
@@ -583,6 +586,7 @@ def _megablock_long_stack(
     int8_scores: bool = False,
     stripe_unroll: int = 1,
     chunk_unroll: int = 1,
+    block_b: int = 1,
     whole_model: bool = False,
 ) -> jnp.ndarray:
     """Long-sequence whole-block Pallas kernels chained call→call.
@@ -624,7 +628,7 @@ def _megablock_long_stack(
             act=cfg.act, eps=eps, n_valid=n, q_tile=q_tile,
             row_chunk=row_chunk, interpret=interpret,
             int8_scores=int8_scores, stripe_unroll=stripe_unroll,
-            chunk_unroll=chunk_unroll,
+            chunk_unroll=chunk_unroll, block_b=block_b,
         )
     else:
         for i in range(cfg.depth):
@@ -640,6 +644,7 @@ def _megablock_long_stack(
                 eps=eps, n_valid=n, q_tile=q_tile, row_chunk=row_chunk,
                 interpret=interpret, int8_scores=int8_scores,
                 stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
+                block_b=block_b,
             )
 
     return _head_or_tokens(qp, zq, cfg, n)

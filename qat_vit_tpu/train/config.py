@@ -83,6 +83,11 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # — validate accuracy for your model before production.
     "observer_interval": 1,
     "progress_bar": False,  # tqdm batch progress (ref qat_trainer.py:323-328)
+    # per-block rematerialization: "none" | "dots" (save matmul/attention-
+    # kernel outputs, recompute elementwise chains) | "full". Bit-identical
+    # grads/observer stats (tests); a bandwidth-for-FLOPs trade measured in
+    # scripts/train_step_bench.py (docs/BENCHMARKS.md round 4).
+    "remat": "none",
     # int8 export with per-output-channel weight scales (accuracy upgrade
     # over the reference's per-tensor qnnpack scheme; serving cost unchanged)
     "per_channel_weights": False,

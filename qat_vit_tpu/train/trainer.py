@@ -191,15 +191,16 @@ class KDQATTrainer:
                     qconfig.activation, axis_name=DATA_AXIS
                 ),
             )
+        remat = str(self.hp.get("remat", "none"))
         self.student_qat_cfg = dataclasses.replace(
             base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=qat_dtype,
             fast_math=fast and qat_dtype == jnp.bfloat16,
-            attn_kernel=attn_kernel,
+            attn_kernel=attn_kernel, remat=remat,
         )
         self.student_float_cfg = dataclasses.replace(
             base_student.cfg, quant=None, qat_wrapper=False, dtype=dtype,
             fast_math=fast and dtype == jnp.bfloat16,
-            attn_kernel=attn_kernel,
+            attn_kernel=attn_kernel, remat=remat,
         )
         from qat_vit_tpu.models.vit import VisionTransformer
 

@@ -104,11 +104,12 @@ def phase_final(workdir: str, data_dir: str, teacher_ckpt: str,
         mlflow_uri=f"sqlite:///{out}/mlflow.db",
         eval_batch_size=512,
     )
-    hp.update(extra or {})
     # the search space allows qat_start_epoch up to its epochs-2; clamp to
     # this run's horizon (reference uses the yaml value as-is at matching
-    # epoch budgets)
+    # epoch budgets). extra wins over the clamp (the float-only PTQ baseline
+    # sets qat_start_epoch past the horizon on purpose).
     hp["qat_start_epoch"] = min(int(hp["qat_start_epoch"]), epochs - 2)
+    hp.update(extra or {})
     res = train_main(hp)
     summary = {
         "output_dir": out,
@@ -127,12 +128,91 @@ def phase_final(workdir: str, data_dir: str, teacher_ckpt: str,
     return summary
 
 
+def phase_per_channel(variant_dir: str, data_dir: str) -> dict:
+    """Per-channel-weights int8 export of the SAME last-epoch state the
+    per-tensor best_converted.msgpack was folded from (resume_state holds
+    last-epoch params+observers) — the full-scale evidence for the
+    per_channel_weights flag (VERDICT r3 weak-3)."""
+    import jax
+
+    from qat_vit_tpu.evaluation.evaluator import evaluate_checkpoint
+    from qat_vit_tpu.models import create_model
+    from qat_vit_tpu.quant.qconfig import default_qat_qconfig
+    from qat_vit_tpu.serve.int8_vit import convert_vit
+    from qat_vit_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    out = os.path.join(variant_dir, "best_converted_perchannel.msgpack")
+    if not os.path.isfile(out):
+        state = load_checkpoint(
+            os.path.join(variant_dir, "resume_state.msgpack"))
+        assert int(jax.numpy.asarray(state["qat_enabled"])) == 1
+        bundle = create_model(
+            "vit_small_patch16_224_student", qat_wrapper=True,
+            quant=default_qat_qconfig(),
+        )
+        qp = convert_vit(state["params"], state["quant_stats"], bundle.cfg,
+                         per_channel_weights=True)
+        save_checkpoint(out, qp, {"format": "int8-per-channel"})
+    acc = evaluate_checkpoint(
+        "vit_small_patch16_224_student", out, data_dir=data_dir, int8=True)
+    return {"int8_per_channel_top1": acc, "ckpt": out}
+
+
+def phase_ptq(workdir: str, data_dir: str, float_dir: str,
+              calib_batches: int = 20, batch_size: int = 256) -> dict:
+    """Calibrate-only PTQ of the float-trained student: the cheap no-finetune
+    baseline QAT is supposed to beat (VERDICT r3 weak-3). Converts the float
+    run's weights with observer calibration over train batches — per-tensor
+    AND per-channel — and evaluates both plus the float model itself."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from qat_vit_tpu.data import preprocess
+    from qat_vit_tpu.evaluation.evaluator import evaluate_checkpoint
+    from qat_vit_tpu.models import create_model
+    from qat_vit_tpu.serve.calibrate import ptq_convert
+    from qat_vit_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    done = os.path.join(float_dir, "PTQ_RESULT.json")
+    if os.path.isfile(done):
+        with open(done) as f:
+            return json.load(f)
+    ckpt = os.path.join(float_dir, "best_qat.msgpack")
+    restored = load_checkpoint(ckpt)
+    params = restored["params"] if "params" in restored else restored
+    bundle = create_model("vit_small_patch16_224_student", qat_wrapper=False)
+    raw = np.load(os.path.join(data_dir, "cifar10.npz"))
+    imgs = raw["train_images"]
+
+    def batches():
+        for i in range(calib_batches):
+            chunk = imgs[i * batch_size:(i + 1) * batch_size]
+            yield preprocess(jnp.asarray(chunk), size=bundle.cfg.image_size)
+
+    result = {"calib_batches": calib_batches}
+    result["float_top1"] = evaluate_checkpoint(
+        "vit_small_patch16_224_student", ckpt, data_dir=data_dir,
+        qat_wrapper=False)
+    for pc, tag in ((False, "per_tensor"), (True, "per_channel")):
+        qp = ptq_convert(params, batches(), bundle.cfg,
+                         per_channel_weights=pc)
+        out = os.path.join(float_dir, f"ptq_{tag}.msgpack")
+        save_checkpoint(out, qp, {"format": f"int8-ptq-{tag}"})
+        result[f"ptq_{tag}_top1"] = evaluate_checkpoint(
+            "vit_small_patch16_224_student", out, data_dir=data_dir,
+            int8=True)
+    with open(done, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
 def phase_report(workdir: str, data_dir: str, teacher_ckpt: str,
-                 finals: dict) -> None:
+                 finals: dict, extras: dict = None) -> None:
     """Cross-check with the evaluation CLI surface + write the table."""
     from qat_vit_tpu.evaluation.evaluator import evaluate_checkpoint
 
-    report = {"teacher": None, "variants": {}}
+    report = {"teacher": None, "variants": {}, **(extras or {})}
     report["teacher"] = evaluate_checkpoint(
         "vit_base_patch16_224_teacher", teacher_ckpt, data_dir=data_dir,
     )
@@ -216,6 +296,32 @@ def phase_report(workdir: str, data_dir: str, teacher_ckpt: str,
             f"| {v['int8_top1']:.4f} | {v['int8_minus_fakequant']:+.4f} "
             f"| {v['int8_preset_top1']:.4f} | {v['preset_minus_exact']:+.4f} |"
         )
+    if extras and "per_channel" in extras:
+        pc = extras["per_channel"]
+        base = extras.get("per_channel_baseline", float("nan"))
+        lines += [
+            "",
+            "## Per-channel weight scales (same last-epoch state as the "
+            "per-tensor export)",
+            "",
+            f"per-tensor int8 **{base:.4f}** → per-channel int8 "
+            f"**{pc['int8_per_channel_top1']:.4f}** "
+            f"(delta {pc['int8_per_channel_top1'] - base:+.4f})",
+        ]
+    if extras and "ptq" in extras:
+        q = extras["ptq"]
+        base = extras.get("qat_int8_baseline", float("nan"))
+        lines += [
+            "",
+            "## Calibrate-only PTQ vs QAT (float-trained student, "
+            f"{q['calib_batches']} calibration batches)",
+            "",
+            "| float top-1 | PTQ per-tensor | PTQ per-channel | "
+            "QAT int8 (same budget) |",
+            "|---|---|---|---|",
+            f"| {q['float_top1']:.4f} | {q['ptq_per_tensor_top1']:.4f} "
+            f"| {q['ptq_per_channel_top1']:.4f} | {base:.4f} |",
+        ]
     md = "\n".join(lines) + "\n"
     with open(os.path.join(workdir, "REPORT.md"), "w") as f:
         f.write(md)
@@ -243,6 +349,10 @@ def main(argv=None):
                    help="also run a final variant with this "
                         "observer_interval (accuracy evidence for the "
                         "opt-in throughput lever)")
+    p.add_argument("--skip-ptq", action="store_true",
+                   help="skip the float-train + calibrate-only PTQ baseline")
+    p.add_argument("--skip-per-channel", action="store_true",
+                   help="skip the per-channel-weights int8 export row")
     args = p.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -269,9 +379,32 @@ def main(argv=None):
         finals[f"qat_amp+obs/{k}"] = phase_final(
             args.workdir, data_dir, teacher_ckpt, best, args.final_epochs,
             qat_amp=True, extra={"observer_interval": k}, tag=f"obs{k}")
+    extras = {}
+    if not args.skip_ptq:
+        # float-only KD run (same recipe/budget, QAT never enabled) — the
+        # PTQ baseline's training
+        float_summary = phase_final(
+            args.workdir, data_dir, teacher_ckpt, best, args.final_epochs,
+            qat_amp=False, extra={"qat_start_epoch": 10 ** 9}, tag="float")
+        extras["ptq"] = phase_ptq(
+            args.workdir, data_dir, float_summary["output_dir"])
     if args.phase == "final":
         return
-    phase_report(args.workdir, data_dir, teacher_ckpt, finals)
+    if not args.skip_per_channel and finals:
+        # per-channel export of the primary QAT variant's last-epoch state
+        primary = ("qat_amp(bf16)" if "qat_amp(bf16)" in finals
+                   else next(iter(finals)))
+        extras["per_channel"] = phase_per_channel(
+            finals[primary]["output_dir"], data_dir)
+        extras["per_channel_baseline"] = finals[primary]["epochs"][-1][
+            "quant_acc"]
+        extras["per_channel_variant"] = primary
+    if "ptq" in extras and finals:
+        primary = ("qat_amp(bf16)" if "qat_amp(bf16)" in finals
+                   else next(iter(finals)))
+        extras["qat_int8_baseline"] = finals[primary]["epochs"][-1][
+            "quant_acc"]
+    phase_report(args.workdir, data_dir, teacher_ckpt, finals, extras)
 
 
 if __name__ == "__main__":

@@ -74,7 +74,7 @@ def main():
     print(f"backend={jax.default_backend()} batch={BATCH} steps={STEPS} "
           f"dispatch_overhead={oh * 1e3:.1f}ms")
 
-    def build(dtype, quant=True, fast=None, attn_kernel=True):
+    def build(dtype, quant=True, fast=None, attn_kernel=True, remat="none"):
         # QVT_MODEL selects the geometry (default ViT-S student; e.g.
         # QVT_MODEL=vit_base_patch16_224_teacher measures the QAT step on
         # ViT-B — the training kernels are geometry-generic)
@@ -87,7 +87,7 @@ def main():
             student = create_student("vit")
         fast = (dtype == jnp.bfloat16) if fast is None else fast
         cfg = dataclasses.replace(student.cfg, dtype=dtype, fast_math=fast,
-                                  attn_kernel=attn_kernel)
+                                  attn_kernel=attn_kernel, remat=remat)
         if not quant:  # the float-phase module (no fake-quant sites)
             cfg = dataclasses.replace(cfg, quant=None, qat_wrapper=False)
         return ModelBundle(student.name, VisionTransformer(cfg), cfg)
@@ -339,6 +339,16 @@ def main():
     bench("qat_step", lambda: full_step(bf16, qat=True))
     bench("qat_step_noobserve", lambda: full_step(bf16, qat=True,
                                                   observe=False))
+    # per-block rematerialization (models/vit.py cfg.remat): trade stored
+    # residual traffic for recompute — bit-identical grads/observer stats
+    # (tests/test_vit_model.py)
+    bench("qat_step_remat_dots",
+          lambda: full_step(build(jnp.bfloat16, remat="dots"), qat=True))
+    bench("qat_step_remat_full",
+          lambda: full_step(build(jnp.bfloat16, remat="full"), qat=True))
+    bench("float_step_remat_dots",
+          lambda: full_step(build(jnp.bfloat16, quant=False, remat="dots"),
+                            qat=False))
 
     def full_step_dispatch(bundle, interval):
         """The trainer's observer_interval pattern EXACTLY: two separately

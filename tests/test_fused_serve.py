@@ -346,6 +346,26 @@ class TestLongMegablock:
             int8_apply(qp, x, dataclasses.replace(cfg, act="relu"),
                        fused="megablock_long")
 
+    def test_cross_image_block_b_bit_identical(self):
+        """block_b (images per grid step — cross-image MXU/VPU pipelining) is
+        a pure scheduling knob: outputs must be BIT-identical, including a
+        batch that is NOT a multiple of block_b (padded and sliced)."""
+        from qat_vit_tpu.serve.int8_vit import int8_apply
+
+        qp, x, cfg = _quick_gelu_export(batch=3)
+        with pltpu.force_tpu_interpret_mode():
+            base = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                              fused="megablock_long:64:32")
+            bb2 = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                             fused="megablock_long:64:32:bb2")
+            whole = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                               fused="megamodel_long:64:32:su2:bb2")
+            whole_base = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                    fused="megamodel_long:64:32")
+        np.testing.assert_array_equal(np.asarray(bb2), np.asarray(base))
+        np.testing.assert_array_equal(np.asarray(whole),
+                                      np.asarray(whole_base))
+
 
 class TestFusedAttention:
     def test_matches_xla_einsum(self):

@@ -251,3 +251,67 @@ class TestRegistry:
             v, b.example_input(2), observe=True, mutable=["quant_stats"]
         )
         assert y.shape == (2, 10)
+
+
+class TestRemat:
+    """Per-block rematerialization (cfg.remat) is a pure scheduling knob:
+    loss, gradients, AND observer-stat updates must be bit-identical to the
+    unrematerialized model (the QAT bandwidth-for-FLOPs trade,
+    docs/BENCHMARKS.md round 4)."""
+
+    def test_remat_modes_bit_identical(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from qat_vit_tpu.models.vit import ViTConfig, VisionTransformer
+        from qat_vit_tpu.quant import default_qat_qconfig
+
+        base = ViTConfig(
+            num_classes=10, image_size=32, patch_size=8, embed_dim=64,
+            depth=2, num_heads=2, quant=default_qat_qconfig(),
+            qat_wrapper=True,
+        )
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 32, 32, 3)).astype(np.float32))
+        v = VisionTransformer(base).init(jax.random.key(0), x, observe=False)
+
+        def run(cfg):
+            m = VisionTransformer(cfg)
+
+            def f(params, qs):
+                logits, mut = m.apply(
+                    {"params": params, "quant_stats": qs}, x,
+                    observe=True, mutable=["quant_stats"])
+                return jnp.sum(logits ** 2), mut["quant_stats"]
+
+            (loss, qs2), grads = jax.value_and_grad(f, has_aux=True)(
+                v["params"], v["quant_stats"])
+            return loss, grads, qs2
+
+        l0, g0, q0 = run(base)
+        for mode in ("dots", "full"):
+            l1, g1, q1 = run(dataclasses.replace(base, remat=mode))
+            assert float(l0) == float(l1), mode
+            for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(q0), jax.tree.leaves(q1)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_unknown_remat_mode_raises(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from qat_vit_tpu.models.vit import ViTConfig, VisionTransformer
+
+        cfg = dataclasses.replace(
+            ViTConfig(num_classes=10, image_size=32, patch_size=8,
+                      embed_dim=64, depth=1, num_heads=2), remat="bogus")
+        with pytest.raises(ValueError, match="remat"):
+            VisionTransformer(cfg).init(
+                jax.random.key(0), jnp.zeros((1, 32, 32, 3)), observe=False)
