@@ -29,6 +29,7 @@ from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint  # registers jax.ad_checkpoint (not auto-imported)
 import jax.numpy as jnp
 import numpy as np
 

@@ -30,9 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     import jax
 
-    if jax.default_backend() != "cpu":
-        # micro trials are dispatch-bound; keep the single-client TPU free
-        jax.config.update("jax_platforms", "cpu")
+    # Force CPU BEFORE any backend query: calling jax.default_backend()
+    # first would initialize (and claim) the single-client TPU tunnel —
+    # micro trials are dispatch-bound and must not contend with TPU jobs.
+    jax.config.update("jax_platforms", "cpu")
 
     import logging
 
