@@ -94,6 +94,17 @@ class ViTConfig:
     # recomputes the whole block from its input. Measured in
     # scripts/train_step_bench.py (docs/BENCHMARKS.md round 4).
     remat: str = "none"
+    # Fuse the qkv output activation fake-quant INTO the Pallas attention
+    # training kernel (ops/flash_attention_train.attention_train_fq): the
+    # observer still updates in XLA, but the quantize-dequantize runs on
+    # VMEM tiles inside the kernel and the backward applies the STE mask
+    # in-kernel — removing the standalone fq pass, its saved mask, and the
+    # post-kernel mask pass over the step's largest activation tensor.
+    # Only active on the training trace (observe=True) when the slab kernel
+    # qualifies; eval keeps the unfused path (identical numerics, and the
+    # identity-until-observed select needs the XLA form). Measured in
+    # scripts/train_step_bench.py (docs/BENCHMARKS.md round 4).
+    fq_in_kernel: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -152,6 +163,11 @@ class QuantDense(nn.Module):
     features: int
     quant: Optional[QConfig]
     quantize_output: bool = True
+    # Defer the output fake-quant to the caller: the observer updates and the
+    # qparams derive exactly as usual, but the return value is
+    # ``(y_raw, scale, zero_point)`` for a fused kernel to apply the fq on
+    # VMEM tiles (Attention's fq_in_kernel path).
+    defer_output_fq: bool = False
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     kernel_axes: Tuple[str, str] = (EMBED, HIDDEN)
@@ -192,9 +208,10 @@ class QuantDense(nn.Module):
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             if self.quantize_output:
-                y = FakeQuantizer(self.quant.activation, name="act_fq")(
-                    y, observe=observe
-                )
+                fq = FakeQuantizer(self.quant.activation, name="act_fq")
+                if self.defer_output_fq:
+                    return fq(y, observe=observe, apply_fq=False)
+                y = fq(y, observe=observe)
             return y
         y = jnp.dot(
             x.astype(self.dtype),
@@ -280,17 +297,11 @@ class Attention(nn.Module):
         cfg = self.cfg
         B, N, D = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
-        qkv_packed = QuantDense(
-            features=3 * D,
-            quant=cfg.quant,
-            dtype=cfg.dtype,
-            kernel_axes=(EMBED, HIDDEN),
-            name="qkv",
-        )(x, observe=observe)
 
         from qat_vit_tpu.ops.flash_attention_train import (
             attention_train,
             attention_train_available,
+            attention_train_fq,
             forced_interpret,
         )
         from qat_vit_tpu.ops.long_attention import (
@@ -298,11 +309,47 @@ class Attention(nn.Module):
             long_attention_train_available,
         )
 
-        if (
+        slab_kernel_ok = (
             cfg.fast_math
             and cfg.attn_kernel
             and attention_train_available(h, hd, seq_len=N)
-        ):
+        )
+        # fq_in_kernel: fold the qkv output fake-quant into the Pallas
+        # attention kernel. Training trace only (observe=True; eval keeps
+        # the unfused form — same numerics, plus the identity-until-observed
+        # select). At init the observer stats are still ±inf, so the scale
+        # would be garbage — route through the unfused path there (the
+        # variable tree is identical either way).
+        fuse_fq = (
+            cfg.quant is not None
+            and cfg.fq_in_kernel
+            and observe
+            and slab_kernel_ok
+            and not self.is_initializing()
+        )
+        qkv_packed = QuantDense(
+            features=3 * D,
+            quant=cfg.quant,
+            dtype=cfg.dtype,
+            defer_output_fq=fuse_fq,
+            kernel_axes=(EMBED, HIDDEN),
+            name="qkv",
+        )(x, observe=observe)
+
+        if fuse_fq:
+            qkv_raw, fq_scale, fq_zp = qkv_packed
+            qs = jnp.stack(
+                [fq_scale.astype(jnp.float32).reshape(()),
+                 fq_zp.astype(jnp.float32).reshape(())]
+            ).reshape(1, 2)
+            out = attention_train_fq(
+                qkv_raw, qs, h, hd,
+                cfg.quant.activation.quant_min,
+                cfg.quant.activation.quant_max,
+                interpret=forced_interpret(),
+            )
+            out = jax.ad_checkpoint.checkpoint_name(out, "attn_kernel_out")
+        elif slab_kernel_ok:
             # fused Pallas fwd + custom-VJP bwd: the [B,H,N,N] probability
             # tensor never exists in HBM in either direction (the dominant
             # activation traffic of the train step — train_step_bench.py)

@@ -109,8 +109,22 @@ def flash_attention_qkv(
     return out[:, :n, :]
 
 
+def fq_tile(t, scale, zp, quant_min: int, quant_max: int):
+    """In-kernel fake-quant (quantize→dequantize) of a VMEM-resident tile.
+
+    The exact elementwise math of ``quant.fake_quant.fake_quantize`` (f32
+    compute, round-half-even, clip to the grid), applied inside a Pallas
+    kernel so the fq never costs a standalone HBM pass (models/vit.py
+    ``fq_in_kernel``)."""
+    compute = t.astype(jnp.float32)
+    q = jnp.round(compute / scale + zp)
+    out = (jnp.clip(q, float(quant_min), float(quant_max)) - zp) * scale
+    return out.astype(t.dtype)
+
+
 def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
-                            scale, n_valid, block_b, group, quantize):
+                            scale, n_valid, block_b, group, quantize,
+                            in_fq=None):
     """Group-masked attention: 128-aligned slices only, no transposes.
 
     Heads are processed in lane GROUPS of ``group = 128 // head_dim`` heads
@@ -146,11 +160,27 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
     def tile_iter():
         return tiling.tile_iter(block_b, num_heads, head_dim)
 
+    # in_fq=(qmin, qmax): the qkv operand is the RAW GEMM output; apply the
+    # activation fake-quant on slabs here in VMEM (scale/zp in SMEM qs_ref)
+    # instead of a standalone XLA pass over the largest activation tensor.
+    fq_cache = {}
+
+    def load_slab(b, off, width):
+        slab = qkv_ref[b, :, off : off + width]
+        if in_fq is None:
+            return slab
+        key = (b, off)
+        if key not in fq_cache:
+            fq_cache[key] = fq_tile(
+                slab, qs_ref[0, 0], qs_ref[0, 1], in_fq[0], in_fq[1]
+            )
+        return fq_cache[key]
+
     score_tiles = []
     for b, base, width, hh in tile_iter():
-        q_slab = qkv_ref[b, :, base : base + width]
+        q_slab = load_slab(b, base, width)
         q_slab = q_slab * jnp.asarray(scale, q_slab.dtype)
-        k_slab = qkv_ref[b, :, d + base : d + base + width]
+        k_slab = load_slab(b, d + base, width)
         k_h = jnp.where(head_mask(width, hh), k_slab, jnp.zeros_like(k_slab))
         s = jax.lax.dot_general(
             q_slab, k_h,
@@ -166,7 +196,7 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
     acc_by = {}  # (b, base) -> accumulated [n_pad, width], hh order
     for idx, (b, base, width, hh) in enumerate(tile_iter()):
         p = p_all[idx * n_pad : (idx + 1) * n_pad, :]
-        v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
+        v_slab = load_slab(b, 2 * d + base, width)
         v_h = jnp.where(head_mask(width, hh), v_slab, jnp.zeros_like(v_slab))
         o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
         key = (b, base)
@@ -183,12 +213,14 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
 
 
 @partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b",
-                                   "quantize", "interpret", "pad_multiple"))
+                                   "quantize", "interpret", "pad_multiple",
+                                   "in_fq"))
 def _fused_attention_call(qkv, qs, num_heads, head_dim, block_b, quantize,
-                          interpret, pad_multiple=_LANE):
+                          interpret, pad_multiple=_LANE, in_fq=None):
     b, n, three_d = qkv.shape
     d = num_heads * head_dim
     assert three_d == 3 * d, (three_d, d)
+    assert not (quantize and in_fq), "in_fq and quantize both use qs_ref"
     n_pad = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
     if n_pad != n:
         qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -207,6 +239,7 @@ def _fused_attention_call(qkv, qs, num_heads, head_dim, block_b, quantize,
             block_b=block_b,
             group=group,
             quantize=quantize,
+            in_fq=in_fq,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (b_pad, n_pad, d), jnp.int8 if quantize else qkv.dtype

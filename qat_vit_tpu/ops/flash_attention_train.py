@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qat_vit_tpu.ops import _tiling as tiling
-from qat_vit_tpu.ops.flash_attention import _fused_attention_call
+from qat_vit_tpu.ops.flash_attention import _fused_attention_call, fq_tile
 
 
 def forced_interpret() -> bool:
@@ -45,14 +45,20 @@ def forced_interpret() -> bool:
     return os.environ.get("QVT_ATTN_INTERPRET", "") == "1"
 
 
-def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
-                          scale, n_valid, block_b):
+def _attention_bwd_kernel(qkv_ref, do_ref, qs_ref, dqkv_ref, *, num_heads,
+                          head_dim, scale, n_valid, block_b, in_fq=None):
     """Batched-softmax VJP (same scheme as ops/block_kernel.py): all
     (image, head) score AND dp tiles are computed first (MXU), the softmax
     recompute and its VJP elementwise chain run ONCE on the stacked
     [tiles*n_pad, n_pad] tensors (VPU), then the dq/dk/dv dots (MXU).
     Bit-exact vs the per-head form: same tiles, same masking and
-    accumulation order, all row-wise independent ops."""
+    accumulation order, all row-wise independent ops.
+
+    ``in_fq=(qmin, qmax)``: the qkv operand is the RAW qkv GEMM output; the
+    kernel recomputes the activation fake-quant on slabs in VMEM (the same
+    values the forward used — scale/zp in SMEM ``qs_ref``) AND applies the
+    straight-through-estimator mask to dqkv before the store, so neither the
+    fq'd tensor nor the STE mask ever exists in HBM."""
     n_pad = qkv_ref.shape[1]
     d = num_heads * head_dim
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), dimension=1)
@@ -63,11 +69,24 @@ def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
     def tile_iter():
         return tiling.tile_iter(block_b, num_heads, head_dim)
 
+    fq_cache = {}
+
+    def load_slab(b, off, width):
+        slab = qkv_ref[b, :, off : off + width]
+        if in_fq is None:
+            return slab
+        key = (b, off)
+        if key not in fq_cache:
+            fq_cache[key] = fq_tile(
+                slab, qs_ref[0, 0], qs_ref[0, 1], in_fq[0], in_fq[1]
+            )
+        return fq_cache[key]
+
     s_tiles, dp_tiles, slabs = [], [], []
     for b, base, width, hh in tile_iter():
-        q_slab = qkv_ref[b, :, base : base + width]
-        k_slab = qkv_ref[b, :, d + base : d + base + width]
-        v_slab = qkv_ref[b, :, 2 * d + base : 2 * d + base + width]
+        q_slab = load_slab(b, base, width)
+        k_slab = load_slab(b, d + base, width)
+        v_slab = load_slab(b, 2 * d + base, width)
         do_slab = do_ref[b, :, base : base + width]
         hmask = tiling.head_mask(lane, width, hh, head_dim)
         zeros = jnp.zeros_like(k_slab)
@@ -117,21 +136,34 @@ def _attention_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, head_dim,
             acc[key] = [old[0] + dq, old[1] + dk, old[2] + dv]
         else:
             acc[key] = [dq, dk, dv]
+    def ste_mask(b, off, width, g):
+        # STE: gradient flows only where the (unclipped) quantized value is
+        # in range — recomputed from the raw slab, exactly fake_quant._fq_fwd
+        if in_fq is None:
+            return g
+        raw = qkv_ref[b, :, off : off + width].astype(jnp.float32)
+        qq = jnp.round(raw / qs_ref[0, 0] + qs_ref[0, 1])
+        keep = (qq >= float(in_fq[0])) & (qq <= float(in_fq[1]))
+        return jnp.where(keep, g, jnp.zeros_like(g))
+
     _, gw = tiling.head_group(num_heads, head_dim)
     for (b, base), (dq_acc, dk_acc, dv_acc) in acc.items():
         width = min(gw, d - base)
-        dqkv_ref[b, :, base : base + width] = dq_acc.astype(dqkv_ref.dtype)
-        dqkv_ref[b, :, d + base : d + base + width] = dk_acc.astype(
-            dqkv_ref.dtype
-        )
-        dqkv_ref[b, :, 2 * d + base : 2 * d + base + width] = (
-            dv_acc.astype(dqkv_ref.dtype)
-        )
+        dqkv_ref[b, :, base : base + width] = ste_mask(
+            b, base, width, dq_acc
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[b, :, d + base : d + base + width] = ste_mask(
+            b, d + base, width, dk_acc
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[b, :, 2 * d + base : 2 * d + base + width] = ste_mask(
+            b, 2 * d + base, width, dv_acc
+        ).astype(dqkv_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b",
-                                   "interpret"))
-def _attention_bwd_call(qkv, do, num_heads, head_dim, block_b, interpret):
+                                   "interpret", "in_fq"))
+def _attention_bwd_call(qkv, do, qs, num_heads, head_dim, block_b, interpret,
+                        in_fq=None):
     b, n, three_d = qkv.shape
     d = num_heads * head_dim
     n_pad = max(32, -(-n // 32) * 32)
@@ -146,7 +178,7 @@ def _attention_bwd_call(qkv, do, num_heads, head_dim, block_b, interpret):
     out = pl.pallas_call(
         partial(
             _attention_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
-            scale=head_dim**-0.5, n_valid=n, block_b=block_b,
+            scale=head_dim**-0.5, n_valid=n, block_b=block_b, in_fq=in_fq,
         ),
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, 3 * d), qkv.dtype),
         grid_spec=pl.GridSpec(
@@ -156,6 +188,8 @@ def _attention_bwd_call(qkv, do, num_heads, head_dim, block_b, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_b, n_pad, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((block_b, n_pad, 3 * d),
                                    lambda i: (i, 0, 0),
@@ -171,7 +205,7 @@ def _attention_bwd_call(qkv, do, num_heads, head_dim, block_b, interpret):
             transcendentals=b_pad * num_heads * n_pad * n_pad,
         ),
         interpret=interpret,
-    )(qkv, do)
+    )(qkv, do, qs)
     return out[:b, :n, :]
 
 
@@ -195,12 +229,55 @@ def _attention_train_fwd(qkv, num_heads, head_dim, block_b, interpret):
 
 def _attention_train_bwd(num_heads, head_dim, block_b, interpret, qkv, do):
     dqkv = _attention_bwd_call(
-        qkv, do.astype(qkv.dtype), num_heads, head_dim, block_b, interpret
+        qkv, do.astype(qkv.dtype), jnp.zeros((1, 2), jnp.float32), num_heads,
+        head_dim, block_b, interpret
     )
     return (dqkv,)
 
 
 attention_train.defvjp(_attention_train_fwd, _attention_train_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def attention_train_fq(qkv, qs, num_heads, head_dim, quant_min, quant_max,
+                       block_b=4, interpret=False):
+    """Fused (activation fake-quant + MHA) over RAW packed qkv, differentiable.
+
+    ``qkv`` is the qkv GEMM's raw output; ``qs`` is a [1, 2] f32 array holding
+    this step's (scale, zero_point) from the already-updated observer
+    (quant.modules.FakeQuantizer ``apply_fq=False``). The forward applies the
+    quantize-dequantize on VMEM tiles inside the attention kernel; the
+    backward recomputes it (plus the STE mask, applied to dqkv in-kernel).
+    vs the unfused chain (fake_quantize → attention_train) this removes, per
+    layer and step: the standalone fq pass over [B, N, 3D], its saved STE
+    mask, and the post-kernel mask-apply pass over dqkv — the largest
+    activation tensor's worth of HBM traffic in each direction
+    (docs/BENCHMARKS.md round 4). ``qs`` receives zero cotangents (observer
+    statistics are not learned — reference torch.ao semantics)."""
+    return _fused_attention_call(
+        qkv, qs, num_heads, head_dim, block_b, False, interpret,
+        pad_multiple=32, in_fq=(quant_min, quant_max),
+    )
+
+
+def _attention_train_fq_fwd(qkv, qs, num_heads, head_dim, quant_min,
+                            quant_max, block_b, interpret):
+    out = attention_train_fq(qkv, qs, num_heads, head_dim, quant_min,
+                             quant_max, block_b, interpret)
+    return out, (qkv, qs)
+
+
+def _attention_train_fq_bwd(num_heads, head_dim, quant_min, quant_max,
+                            block_b, interpret, res, do):
+    qkv, qs = res
+    dqkv = _attention_bwd_call(
+        qkv, do.astype(qkv.dtype), qs, num_heads, head_dim, block_b,
+        interpret, in_fq=(quant_min, quant_max)
+    )
+    return dqkv, jnp.zeros_like(qs)
+
+
+attention_train_fq.defvjp(_attention_train_fq_fwd, _attention_train_fq_bwd)
 
 
 def attention_train_available(

@@ -120,6 +120,45 @@ def fused_moving_avg_obs_fake_quant(
     return y, new_min, new_max
 
 
+def observe_and_qparams(
+    x: jnp.ndarray,
+    min_val: jnp.ndarray,
+    max_val: jnp.ndarray,
+    *,
+    symmetric: bool,
+    quant_min: int,
+    quant_max: int,
+    observe: bool,
+    averaging_constant: float = DEFAULT_AVERAGING_CONSTANT,
+    axis_name=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Observer update + qparams WITHOUT applying the fake-quant.
+
+    The fused-kernel path (``ops/flash_attention_train.attention_train_fq``)
+    applies the quantize-dequantize elementwise math inside a Pallas kernel
+    on tiles already resident in VMEM; this computes exactly the
+    ``(scale, zero_point)`` that :func:`fused_moving_avg_obs_fake_quant`
+    would have used, so the in-kernel fq is bit-identical to the standalone
+    op. Returns ``(new_min, new_max, scale, zero_point)``.
+    """
+    if observe:
+        new_min, new_max = update_moving_avg_minmax(
+            min_val, max_val, jax.lax.stop_gradient(x), averaging_constant,
+            axis_name=axis_name,
+        )
+    else:
+        new_min, new_max = min_val, max_val
+    if symmetric:
+        scale, zero_point = qparams_fused_symmetric(
+            new_min, new_max, quant_min, quant_max
+        )
+    else:
+        scale, zero_point = qparams_fused_affine(
+            new_min, new_max, quant_min, quant_max
+        )
+    return new_min, new_max, scale, zero_point
+
+
 def quantize_to_int(
     x: jnp.ndarray,
     scale: jnp.ndarray,

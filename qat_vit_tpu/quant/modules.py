@@ -15,7 +15,10 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from qat_vit_tpu.quant.fake_quant import fused_moving_avg_obs_fake_quant
+from qat_vit_tpu.quant.fake_quant import (
+    fused_moving_avg_obs_fake_quant,
+    observe_and_qparams,
+)
 from qat_vit_tpu.quant.qconfig import FakeQuantConfig
 
 
@@ -25,12 +28,20 @@ class FakeQuantizer(nn.Module):
     ``observe=True`` (training) updates the EMA min/max in-place in the
     ``quant_stats`` collection; ``observe=False`` (eval) fake-quantizes with
     frozen statistics — exactly torch's train()/eval() observer gating.
+
+    ``apply_fq=False`` defers the elementwise quantize-dequantize to the
+    caller: the observer still updates and the qparams are still derived
+    from the updated state, but the return value is ``(x, scale, zero_point)``
+    so a fused Pallas kernel can apply the fq on VMEM-resident tiles
+    (models/vit.py fq_in_kernel) instead of a standalone HBM pass.
     """
 
     cfg: FakeQuantConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, observe: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, observe: bool = False, apply_fq: bool = True
+    ):
         min_val = self.variable(
             "quant_stats", "min_val", lambda: jnp.array(jnp.inf, jnp.float32)
         )
@@ -38,6 +49,22 @@ class FakeQuantizer(nn.Module):
             "quant_stats", "max_val", lambda: jnp.array(-jnp.inf, jnp.float32)
         )
         update = observe and not self.is_initializing()
+        if not apply_fq:
+            new_min, new_max, scale, zero_point = observe_and_qparams(
+                x,
+                min_val.value,
+                max_val.value,
+                symmetric=self.cfg.symmetric,
+                quant_min=self.cfg.quant_min,
+                quant_max=self.cfg.quant_max,
+                observe=update,
+                averaging_constant=self.cfg.averaging_constant,
+                axis_name=self.cfg.axis_name,
+            )
+            if update:
+                min_val.value = new_min
+                max_val.value = new_max
+            return x, scale, zero_point
         y, new_min, new_max = fused_moving_avg_obs_fake_quant(
             x,
             min_val.value,

@@ -88,6 +88,13 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # grads/observer stats (tests); a bandwidth-for-FLOPs trade measured in
     # scripts/train_step_bench.py (docs/BENCHMARKS.md round 4).
     "remat": "none",
+    # Fuse the qkv activation fake-quant into the Pallas attention training
+    # kernel (models/vit.py ViTConfig.fq_in_kernel): removes the standalone
+    # fq pass, its STE mask residual, and the post-kernel mask pass over the
+    # step's largest activation tensor. Bit-identical loss/grads/observer
+    # stats (tests/test_attention_fq.py); measured in
+    # scripts/train_step_bench.py (docs/BENCHMARKS.md round 4).
+    "fq_in_kernel": False,
     # int8 export with per-output-channel weight scales (accuracy upgrade
     # over the reference's per-tensor qnnpack scheme; serving cost unchanged)
     "per_channel_weights": False,

@@ -192,10 +192,11 @@ class KDQATTrainer:
                 ),
             )
         remat = str(self.hp.get("remat", "none"))
+        fq_in_kernel = bool(self.hp.get("fq_in_kernel", False))
         self.student_qat_cfg = dataclasses.replace(
             base_student.cfg, quant=qconfig, qat_wrapper=True, dtype=qat_dtype,
             fast_math=fast and qat_dtype == jnp.bfloat16,
-            attn_kernel=attn_kernel, remat=remat,
+            attn_kernel=attn_kernel, remat=remat, fq_in_kernel=fq_in_kernel,
         )
         self.student_float_cfg = dataclasses.replace(
             base_student.cfg, quant=None, qat_wrapper=False, dtype=dtype,

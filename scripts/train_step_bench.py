@@ -74,7 +74,8 @@ def main():
     print(f"backend={jax.default_backend()} batch={BATCH} steps={STEPS} "
           f"dispatch_overhead={oh * 1e3:.1f}ms")
 
-    def build(dtype, quant=True, fast=None, attn_kernel=True, remat="none"):
+    def build(dtype, quant=True, fast=None, attn_kernel=True, remat="none",
+              fq_in_kernel=False):
         # QVT_MODEL selects the geometry (default ViT-S student; e.g.
         # QVT_MODEL=vit_base_patch16_224_teacher measures the QAT step on
         # ViT-B — the training kernels are geometry-generic)
@@ -87,7 +88,8 @@ def main():
             student = create_student("vit")
         fast = (dtype == jnp.bfloat16) if fast is None else fast
         cfg = dataclasses.replace(student.cfg, dtype=dtype, fast_math=fast,
-                                  attn_kernel=attn_kernel, remat=remat)
+                                  attn_kernel=attn_kernel, remat=remat,
+                                  fq_in_kernel=fq_in_kernel)
         if not quant:  # the float-phase module (no fake-quant sites)
             cfg = dataclasses.replace(cfg, quant=None, qat_wrapper=False)
         return ModelBundle(student.name, VisionTransformer(cfg), cfg)
@@ -349,6 +351,15 @@ def main():
     bench("float_step_remat_dots",
           lambda: full_step(build(jnp.bfloat16, quant=False, remat="dots"),
                             qat=False))
+    # qkv fake-quant fused into the Pallas attention kernel (models/vit.py
+    # cfg.fq_in_kernel): removes the standalone fq pass + STE-mask traffic
+    # on the largest activation tensor — bit-identical grads/observer stats
+    # (tests/test_attention_fq.py)
+    bench("qat_step_fqk",
+          lambda: full_step(build(jnp.bfloat16, fq_in_kernel=True), qat=True))
+    bench("qat_step_fqk_remat_dots",
+          lambda: full_step(build(jnp.bfloat16, fq_in_kernel=True,
+                                  remat="dots"), qat=True))
 
     def full_step_dispatch(bundle, interval):
         """The trainer's observer_interval pattern EXACTLY: two separately
