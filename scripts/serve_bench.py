@@ -133,7 +133,10 @@ def main():
     cfg = student.cfg
     oh = _overhead()
 
+    benched = set()
+
     def bench(name, apply_fn):
+        benched.add(name)
         if only and name not in only:
             return
         @jax.jit
@@ -267,6 +270,15 @@ def main():
         bench(f"skip_{skip}", partial(ablated_apply, cfg=cfg, skip=(skip,)))
     bench("skip_all_seams", partial(
         ablated_apply, cfg=cfg, skip=("attn", "ln", "gelu", "residual")))
+
+    # any CLI variant not in the hardcoded list is benched as a raw
+    # fused-mode string (e.g. megamodel_long:512:256:su1:bb2 — the
+    # cross-image-pipelining A/B grid is too large to enumerate here)
+    for mode in sorted(only - benched):
+        if ":" in mode or mode.startswith("mega"):
+            bench(mode, lambda qp, x, m=mode: int8_apply(
+                qp, x, cfg, attn_dtype=jnp.bfloat16,
+                compute_dtype=jnp.bfloat16, fused=m))
 
 
 if __name__ == "__main__":
