@@ -78,9 +78,14 @@ def bench_qat_train(cache_teacher: bool = True, qat_dtype=None) -> float:
         from qat_vit_tpu.models import ModelBundle
         from qat_vit_tpu.models.vit import VisionTransformer
 
+        from qat_vit_tpu.train.config import DEFAULT_HPARAMS
+
         cfg = dataclasses.replace(
             student.cfg, dtype=qat_dtype,
             fast_math=qat_dtype == jnp.bfloat16,  # trainer's amp_fast_math
+            # production default (trainer hparams): qkv fq fused into the
+            # Pallas attention kernel (bit-identical; +3.3% measured)
+            fq_in_kernel=bool(DEFAULT_HPARAMS["fq_in_kernel"]),
         )
         student = ModelBundle(student.name, VisionTransformer(cfg), cfg)
 

@@ -92,9 +92,12 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # kernel (models/vit.py ViTConfig.fq_in_kernel): removes the standalone
     # fq pass, its STE mask residual, and the post-kernel mask pass over the
     # step's largest activation tensor. Bit-identical loss/grads/observer
-    # stats (tests/test_attention_fq.py); measured in
-    # scripts/train_step_bench.py (docs/BENCHMARKS.md round 4).
-    "fq_in_kernel": False,
+    # stats (tests/test_attention_fq.py, incl. under shard_map DP), so it is
+    # on by default; measured 104.1 -> 100.8 ms/step (+3.3%) across three
+    # interleaved sessions (scripts/train_step_bench.py qat_step
+    # qat_step_fqk; docs/BENCHMARKS.md round 4). No effect where the slab
+    # kernel doesn't run (eval, GSPMD multi-device, long-sequence models).
+    "fq_in_kernel": True,
     # int8 export with per-output-channel weight scales (accuracy upgrade
     # over the reference's per-tensor qnnpack scheme; serving cost unchanged)
     "per_channel_weights": False,

@@ -36,14 +36,19 @@ CFG = dict(num_classes=10, image_size=32, patch_size=8, embed_dim=128,
            depth=2, num_heads=2)
 
 
-def _setup(qat: bool, mesh, seed=0, *, shard_map=False, kernel=False):
+def _setup(qat: bool, mesh, seed=0, *, shard_map=False, kernel=False,
+           fq_in_kernel=False):
     """Build state + step for the given mesh.
 
     ``shard_map=True`` passes the mesh into make_train_step (the explicit-DP
     path with pmean grads and observer pmin/pmax); ``kernel=True`` turns on
     fast_math + the Pallas attention kernel (interpret mode off-TPU — callers
-    set QVT_ATTN_INTERPRET=1)."""
+    set QVT_ATTN_INTERPRET=1); ``fq_in_kernel=True`` additionally fuses the
+    qkv fake-quant into that kernel (the observer pmin/pmax then feeds the
+    in-kernel scale — the property the default-on flag relies on)."""
     extra = dict(fast_math=True, attn_kernel=True) if kernel else {}
+    if fq_in_kernel:
+        extra["fq_in_kernel"] = True
     teacher_cfg = ViTConfig(**CFG, quant=None, dtype=jnp.float32)
     teacher = VisionTransformer(teacher_cfg)
     qcfg = default_qat_qconfig()
@@ -165,6 +170,41 @@ class TestDataParallel:
         )
         # observer stats: min/max are exact order statistics — pmin/pmax of
         # shard minima is bit-close to the unsharded reduce
+        qs8 = jax.device_get(s8.quant_stats)
+        qs1 = jax.device_get(s1.quant_stats)
+        for a, b in zip(jax.tree.leaves(qs8), jax.tree.leaves(qs1)):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(jax.device_get(s8.params)),
+            jax.tree.leaves(jax.device_get(s1.params)),
+        ):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1.5e-4)
+
+    def test_shard_map_dp8_fq_in_kernel_matches_single_device(
+        self, monkeypatch
+    ):
+        """Same equivalence with the qkv fake-quant fused into the kernel:
+        the in-kernel scale/zp derive from the pmin/pmax-reduced observer
+        state, so the 8-shard step must reproduce the 1-device step."""
+        monkeypatch.setenv("QVT_ATTN_INTERPRET", "1")
+        mesh8 = make_mesh()
+        mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        batch = _batch(3, n=16)
+
+        state8, step8, tp8, *_ = _setup(
+            qat=True, mesh=mesh8, shard_map=True, kernel=True,
+            fq_in_kernel=True,
+        )
+        s8, m8 = step8(state8, tp8, shard_batch(dict(batch), mesh8))
+        state1, step1, tp1, *_ = _setup(
+            qat=True, mesh=mesh1, shard_map=False, kernel=True,
+            fq_in_kernel=True,
+        )
+        s1, m1 = step1(state1, tp1, shard_batch(dict(batch), mesh1))
+
+        np.testing.assert_allclose(
+            float(m8["train_loss"]), float(m1["train_loss"]), rtol=1e-5
+        )
         qs8 = jax.device_get(s8.quant_stats)
         qs1 = jax.device_get(s1.quant_stats)
         for a, b in zip(jax.tree.leaves(qs8), jax.tree.leaves(qs1)):
