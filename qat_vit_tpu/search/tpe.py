@@ -85,7 +85,7 @@ class MedianPruner:
 
 
 class TPESampler:
-    """TPE with optuna-like defaults, multivariate by default.
+    """TPE with optuna-like defaults; univariate by default (measured).
 
     good/bad split uses optuna's γ: ``min(ceil(0.1·n), 25)`` top trials;
     Parzen bandwidths follow a scaled Silverman rule with a prior-width
@@ -95,12 +95,17 @@ class TPESampler:
     (optuna's ``multivariate=True``, the reference's setting,
     optuna_search.py:127): candidates are good-set rows perturbed
     per-dimension and ranked by a row-wise product-kernel (joint Parzen).
-    Default is ``False``: on controlled evaluations the joint variant showed
-    no measurable benefit here (global-σ bandwidths inflate under multimodal
-    good sets and wash out the pairing it is meant to preserve), and the
-    per-dimension sampler demonstrably beats random (tested). When real
-    optuna is installed the search driver uses optuna's multivariate TPE
-    directly, so reference parity is unaffected.
+    Default is ``False``, settled by a full-search A/B at the recorded
+    budgets (``scripts/tpe_ab.py``: 30 trials × 4 epochs, synthetic-hard
+    20k/4k, 3 seeds, same pruner): univariate best_value mean 0.8823
+    (σ 0.0008) vs multivariate 0.8788 (σ 0.0028) — the joint variant lost
+    on EVERY seed (deltas −0.0006/−0.0044/−0.0056). Mechanism matches the
+    prior hypothesis: global-σ bandwidths inflate under multimodal good
+    sets and wash out the pairing the joint kernel is meant to preserve.
+    The per-dimension sampler demonstrably beats random (tested). When real
+    optuna is installed the search driver uses optuna's own multivariate
+    TPE (the reference's exact configuration), so reference parity is
+    unaffected; this default governs only the in-repo fallback sampler.
     """
 
     def __init__(self, seed: int = 0, n_startup_trials: int = 10,
