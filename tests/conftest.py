@@ -28,6 +28,19 @@ assert len(jax.devices()) == 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()}"
 )
 
+# Deadlock fix (diagnosed by the hang watchdog below, 2026-08-20 dump): the
+# Mosaic-TPU interpreter that executes our ``interpret=True`` Pallas kernels
+# on CPU runs io_callbacks on a runtime thread, and those callbacks dispatch
+# jnp ops themselves (interpret/shared_memory.py update_clocks...). With
+# CPU async dispatch on, the MAIN thread is concurrently inside eager
+# ``apply_primitive`` for the next op (e.g. the jnp.stack in
+# ops/fused_serve._qscales) — the two dispatches interleave on JAX's
+# dispatch internals and every thread parks in futex wait, permanently.
+# Synchronous CPU dispatch serializes them; the race (it struck ~1 in 3 full
+# suite runs, always in interpret-mode kernel tests) is gone and the suite
+# cost is noise (dispatch pipelining only ever overlapped host-side work).
+jax.config.update("jax_cpu_enable_async_dispatch", False)
+
 # ---------------------------------------------------------------------------
 # Per-test hang watchdog. The suite once wedged at ~42% with every thread in
 # futex wait (zero CPU, no output) — a state SIGALRM-style timeouts can't

@@ -22,6 +22,28 @@ from qat_vit_tpu.ops.quantized_matmul import (
 M, K, N = 300, 384, 512  # non-multiple M exercises row padding
 
 
+def interpret_apply(qp, x, cfg, **kw):
+    """``int8_apply`` under the Mosaic-TPU interpreter, as ONE jitted call.
+
+    Interleaving jitted interpreted kernels with the forward's eager glue
+    ops deadlocks on jax 0.9.0: the interpreter's io_callbacks dispatch jnp
+    ops on a runtime thread while the main thread eagerly dispatches the
+    next glue op, and every thread parks in futex wait inside jax's dispatch
+    internals (diagnosed twice from the conftest watchdog dump, always in
+    this file). Tracing the whole forward into one executable means the main
+    thread waits on a single execution and never races the callbacks; the
+    trailing block keeps callback drain inside the interpret context.
+    """
+    from functools import partial
+
+    from qat_vit_tpu.serve.int8_vit import int8_apply
+
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.jit(partial(int8_apply, cfg=cfg, **kw))(qp, x)
+        jax.block_until_ready(out)
+    return out
+
+
 @pytest.fixture(scope="module")
 def gemm_case():
     rng = np.random.default_rng(0)
@@ -158,8 +180,7 @@ class TestFusedPipeline:
         )
         qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
         base = int8_apply(qp, x, m.cfg, gelu_approx=True)
-        with pltpu.force_tpu_interpret_mode():
-            fused = int8_apply(qp, x, m.cfg, fused=True)
+        fused = interpret_apply(qp, x, m.cfg, fused=True)
         assert (base.argmax(-1) == fused.argmax(-1)).all()
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(base), rtol=0.02, atol=0.02
@@ -190,10 +211,9 @@ class TestMegablock:
         )
         qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
         base = int8_apply(qp, x, m.cfg, gelu_approx=True)
-        with pltpu.force_tpu_interpret_mode():
-            mega = int8_apply(
-                qp, x, m.cfg, compute_dtype=jnp.bfloat16, fused="megablock"
-            )
+        mega = interpret_apply(
+            qp, x, m.cfg, compute_dtype=jnp.bfloat16, fused="megablock"
+        )
         assert (base.argmax(-1) == mega.argmax(-1)).all()
         np.testing.assert_allclose(
             np.asarray(mega), np.asarray(base), rtol=0.05, atol=0.05
@@ -221,15 +241,14 @@ class TestMegablock:
             x, observe=True, mutable=["quant_stats"],
         )
         qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
-        with pltpu.force_tpu_interpret_mode():
-            chained = int8_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
-                                 fused="megablock:2:tight")
-            whole = int8_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
-                               fused="megamodel:2:tight")
-            # resident variant: weights pinned in VMEM, depth unrolled
-            # in-kernel, activations carried as values — still bit-identical
-            res = int8_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
-                             fused="megamodel_res:2:tight")
+        chained = interpret_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
+                                  fused="megablock:2:tight")
+        whole = interpret_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
+                                fused="megamodel:2:tight")
+        # resident variant: weights pinned in VMEM, depth unrolled
+        # in-kernel, activations carried as values — still bit-identical
+        res = interpret_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
+                              fused="megamodel_res:2:tight")
         np.testing.assert_array_equal(np.asarray(whole), np.asarray(chained))
         np.testing.assert_array_equal(np.asarray(res), np.asarray(chained))
 
@@ -246,9 +265,8 @@ class TestLongMegablock:
 
         qp, x, cfg = _quick_gelu_export(batch=3)
         base = int8_apply(qp, x, cfg)  # exact path: quick-GELU in f32
-        with pltpu.force_tpu_interpret_mode():
-            out = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                             fused="megablock_long:64:32")
+        out = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                              fused="megablock_long:64:32")
         assert (base.argmax(-1) == out.argmax(-1)).all()
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(base), rtol=0.05, atol=0.05
@@ -284,9 +302,8 @@ class TestLongMegablock:
         )
         qp = convert_vit(v["params"], mut["quant_stats"], m.cfg)
         base = int8_apply(qp, x, m.cfg, gelu_approx=True)
-        with pltpu.force_tpu_interpret_mode():
-            out = int8_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
-                             fused="megablock_long:64:64")
+        out = interpret_apply(qp, x, m.cfg, compute_dtype=jnp.bfloat16,
+                              fused="megablock_long:64:64")
         assert (base.argmax(-1) == out.argmax(-1)).all()
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(base), rtol=0.05, atol=0.05
@@ -300,9 +317,8 @@ class TestLongMegablock:
 
         qp, x, cfg = _quick_gelu_export(batch=3)
         base = int8_apply(qp, x, cfg)
-        with pltpu.force_tpu_interpret_mode():
-            out = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                             fused="megablock_long:64:32:i8")
+        out = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                              fused="megablock_long:64:32:i8")
         assert (base.argmax(-1) == out.argmax(-1)).all()
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(base), rtol=0.06, atol=0.06
@@ -315,11 +331,10 @@ class TestLongMegablock:
         from qat_vit_tpu.serve.int8_vit import int8_apply
 
         qp, x, cfg = _quick_gelu_export(batch=2)
-        with pltpu.force_tpu_interpret_mode():
-            chained = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                                 fused="megablock_long:64:32")
-            whole = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                               fused="megamodel_long:64:32")
+        chained = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                  fused="megablock_long:64:32")
+        whole = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                fused="megamodel_long:64:32")
         np.testing.assert_array_equal(np.asarray(whole), np.asarray(chained))
 
     def test_unroll_flags_bit_identical(self):
@@ -328,11 +343,10 @@ class TestLongMegablock:
         from qat_vit_tpu.serve.int8_vit import int8_apply
 
         qp, x, cfg = _quick_gelu_export(batch=2)
-        with pltpu.force_tpu_interpret_mode():
-            rolled = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                                fused="megablock_long:64:32")
-            unrolled = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                                  fused="megablock_long:64:32:su2:cu2")
+        rolled = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                 fused="megablock_long:64:32")
+        unrolled = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                   fused="megablock_long:64:32:su2:cu2")
         np.testing.assert_array_equal(np.asarray(rolled),
                                       np.asarray(unrolled))
 
@@ -353,15 +367,14 @@ class TestLongMegablock:
         from qat_vit_tpu.serve.int8_vit import int8_apply
 
         qp, x, cfg = _quick_gelu_export(batch=3)
-        with pltpu.force_tpu_interpret_mode():
-            base = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                              fused="megablock_long:64:32")
-            bb2 = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                             fused="megablock_long:64:32:bb2")
-            whole = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                               fused="megamodel_long:64:32:su2:bb2")
-            whole_base = int8_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
-                                    fused="megamodel_long:64:32")
+        base = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                               fused="megablock_long:64:32")
+        bb2 = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                              fused="megablock_long:64:32:bb2")
+        whole = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                fused="megamodel_long:64:32:su2:bb2")
+        whole_base = interpret_apply(qp, x, cfg, compute_dtype=jnp.bfloat16,
+                                     fused="megamodel_long:64:32")
         np.testing.assert_array_equal(np.asarray(bb2), np.asarray(base))
         np.testing.assert_array_equal(np.asarray(whole),
                                       np.asarray(whole_base))
@@ -440,8 +453,7 @@ class TestServingModeSelection:
         qp, x, cfg = _quick_gelu_export(batch=2)
         base = int8_apply(qp, x, cfg)  # exact path: quick-GELU in f32
         for mode in ("mixed", "mixed_fc1", "pallas"):
-            with pltpu.force_tpu_interpret_mode():
-                fused = int8_apply(qp, x, cfg, fused=mode)
+            fused = interpret_apply(qp, x, cfg, fused=mode)
             assert (base.argmax(-1) == fused.argmax(-1)).all(), mode
             np.testing.assert_allclose(
                 np.asarray(fused), np.asarray(base), rtol=1e-4, atol=1e-4,
