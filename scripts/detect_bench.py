@@ -87,8 +87,13 @@ def main() -> None:
         @partial(jax.jit, static_argnames=())
         def run(export, pixels, queries, opts=tuple(sorted(opts.items()))):
             def body(i, acc):
-                out = int8_detect_apply(export, pixels, cfg, queries,
-                                        **dict(opts))
+                # i-dependent input: without it the whole forward is
+                # loop-INVARIANT and XLA hoists it out of the fori_loop
+                # (measured 1.28 ms/batch "latency" — 20x light speed);
+                # same guard as serve_bench.py
+                out = int8_detect_apply(export,
+                                        pixels + jnp.float32(i) * 1e-9,
+                                        cfg, queries, **dict(opts))
                 return (acc + jnp.sum(out["pred_boxes"])
                         + jnp.sum(out["objectness_logits"])
                         + jnp.sum(out["logits"]))
