@@ -57,6 +57,31 @@ def head_mask(lane, width: int, hh: int, head_dim: int):
     )
 
 
+def slab_loader(qkv_ref, qs_ref, in_fq, fq_tile):
+    """Memoized slab loads from the packed q|k|v ref, with the activation
+    fake-quant applied on VMEM-resident tiles when ``in_fq=(qmin, qmax)``.
+
+    The ONE definition of the fq-slab caching used by both the forward
+    (flash_attention.py) and backward (flash_attention_train.py) kernels:
+    the qkv operand is the RAW GEMM output, each (image, offset) slab is
+    fake-quantized at most once per kernel body (scale/zp live in SMEM
+    ``qs_ref``), and forward/backward stay bit-identical by construction."""
+    cache = {}
+
+    def load_slab(b, off, width):
+        slab = qkv_ref[b, :, off : off + width]
+        if in_fq is None:
+            return slab
+        key = (b, off)
+        if key not in cache:
+            cache[key] = fq_tile(
+                slab, qs_ref[0, 0], qs_ref[0, 1], in_fq[0], in_fq[1]
+            )
+        return cache[key]
+
+    return load_slab
+
+
 def batched_softmax_fits(
     num_heads: int,
     n_pad: int,

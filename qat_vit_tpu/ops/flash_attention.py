@@ -163,18 +163,7 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
     # in_fq=(qmin, qmax): the qkv operand is the RAW GEMM output; apply the
     # activation fake-quant on slabs here in VMEM (scale/zp in SMEM qs_ref)
     # instead of a standalone XLA pass over the largest activation tensor.
-    fq_cache = {}
-
-    def load_slab(b, off, width):
-        slab = qkv_ref[b, :, off : off + width]
-        if in_fq is None:
-            return slab
-        key = (b, off)
-        if key not in fq_cache:
-            fq_cache[key] = fq_tile(
-                slab, qs_ref[0, 0], qs_ref[0, 1], in_fq[0], in_fq[1]
-            )
-        return fq_cache[key]
+    load_slab = tiling.slab_loader(qkv_ref, qs_ref, in_fq, fq_tile)
 
     score_tiles = []
     for b, base, width, hh in tile_iter():

@@ -69,18 +69,7 @@ def _attention_bwd_kernel(qkv_ref, do_ref, qs_ref, dqkv_ref, *, num_heads,
     def tile_iter():
         return tiling.tile_iter(block_b, num_heads, head_dim)
 
-    fq_cache = {}
-
-    def load_slab(b, off, width):
-        slab = qkv_ref[b, :, off : off + width]
-        if in_fq is None:
-            return slab
-        key = (b, off)
-        if key not in fq_cache:
-            fq_cache[key] = fq_tile(
-                slab, qs_ref[0, 0], qs_ref[0, 1], in_fq[0], in_fq[1]
-            )
-        return fq_cache[key]
+    load_slab = tiling.slab_loader(qkv_ref, qs_ref, in_fq, fq_tile)
 
     s_tiles, dp_tiles, slabs = [], [], []
     for b, base, width, hh in tile_iter():

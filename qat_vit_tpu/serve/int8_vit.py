@@ -300,6 +300,10 @@ def int8_apply(
             f = jax.nn.gelu(f.astype(jnp.float32), approximate=False).astype(cdt)
         x = x + qd(f, blk["fc2"], blk["gelu_q"])
 
+    if cfg.num_classes != 0:
+        # only the cls row feeds the head: LN is per-token, so slicing first
+        # skips the final-LN+quantize pass over the other N-1 tokens
+        x = x[:, :1]
     zq = _ln_quantize_xla(x, qp["norm"], qp["norm"]["out_q"], eps)
     return _head_or_tokens(qp, zq, cfg, x.shape[1])
 

@@ -119,12 +119,23 @@ def make_detect_train_step(
     in the reference)."""
     prep = preprocess_fn(image_size)
     axis = _data_axis(mesh)
-    if qat and axis is not None and qconfig is not None:
-        if qconfig.activation.axis_name != axis:
+    if qat and axis is not None:
+        if qconfig is not None and qconfig.activation.axis_name != axis:
             raise ValueError(
                 f"detection QAT step under shard_map axis {axis!r} needs "
                 f"FakeQuantConfig.axis_name={axis!r} on activation observers "
                 f"(got {qconfig.activation.axis_name!r})"
+            )
+        if qconfig is None:
+            import warnings
+
+            warnings.warn(
+                "make_detect_train_step(qat=True, mesh=...) without "
+                "qconfig=: cannot verify the activation observers reduce "
+                f"over the data axis {axis!r} (FakeQuantConfig.axis_name); "
+                "observer stats silently lose global-batch semantics if "
+                "unset",
+                stacklevel=2,
             )
 
     def step(
@@ -206,6 +217,16 @@ def make_detect_eval_step(
     def step(params, quant_stats, teacher_params, batch):
         x = prep(batch["image"])
         q = batch["query_embeds"]
+        # Optional per-image validity mask: the trainer pads the trailing
+        # eval batch to the compiled batch size (static shapes; shard_map
+        # divisibility) and masks the padded rows out of the sums — the
+        # detection analog of trainer._pad_batch's label=-1 convention.
+        v = batch.get("valid")
+        v = (
+            jnp.ones((x.shape[0],), jnp.float32)
+            if v is None
+            else v.astype(jnp.float32)
+        )
         t_out = teacher_apply(teacher_params, x, q)
         if qat:
             s_out = student_apply(
@@ -215,13 +236,15 @@ def make_detect_eval_step(
         else:
             s_out = student_apply({"params": params}, x, q, observe=False)
         box_err = jnp.sum(
-            jnp.mean(
+            v
+            * jnp.mean(
                 jnp.abs(s_out["pred_boxes"] - t_out["pred_boxes"]),
                 axis=(1, 2),
             )
         )
         agree = jnp.sum(
-            jnp.mean(
+            v
+            * jnp.mean(
                 (
                     jnp.argmax(s_out["logits"], axis=1)
                     == jnp.argmax(t_out["logits"], axis=1)
@@ -229,8 +252,7 @@ def make_detect_eval_step(
                 axis=-1,
             )
         )
-        n = jnp.full((), x.shape[0], jnp.float32)
-        out = {"box_err_sum": box_err, "agree_sum": agree, "n": n}
+        out = {"box_err_sum": box_err, "agree_sum": agree, "n": jnp.sum(v)}
         if axis is not None:
             out = jax.tree.map(lambda v: jax.lax.psum(v, axis), out)
         return out

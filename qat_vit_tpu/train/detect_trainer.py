@@ -55,7 +55,7 @@ from qat_vit_tpu.train.steps import (
     make_optimizer,
     set_optimizer_hyperparams,
 )
-from qat_vit_tpu.utils.checkpoint import save_checkpoint
+from qat_vit_tpu.utils.checkpoint import BestCheckpointer, save_checkpoint
 
 logger = logging.getLogger(__name__)
 
@@ -249,7 +249,7 @@ class DetectKDTrainer:
         self.eval_loader = ArrayLoader(
             data["test_images"], data["test_labels"],
             batch_size=int(self.hp.get("eval_batch_size", 64)),
-            shuffle=False, drop_last=True, prefetch=2,
+            shuffle=False, drop_last=False, prefetch=2,
         )
 
     # ------------------------------------------------------------------
@@ -314,11 +314,22 @@ class DetectKDTrainer:
     def evaluate(self, limit_batches: int = 0) -> Dict[str, float]:
         """Teacher-relative detection metrics over the eval images."""
         step_fn = self.eval_step_qat if self.qat_enabled else self.eval_step_float
+        bs = int(self.hp.get("eval_batch_size", 64))
         sums = {"box_err_sum": 0.0, "agree_sum": 0.0, "n": 0.0}
         for i, batch in enumerate(self.eval_loader):
             if limit_batches and i >= limit_batches:
                 break
-            gbatch = shard_batch(self._with_queries(batch), self.mesh)
+            # pad the trailing batch to the compiled size (static shapes /
+            # shard_map divisibility); the step masks padded rows via "valid"
+            n = len(batch["image"])
+            if n < bs:
+                pad = np.zeros(
+                    (bs - n,) + batch["image"].shape[1:], batch["image"].dtype
+                )
+                batch = {"image": np.concatenate([batch["image"], pad])}
+            b = self._with_queries(batch)
+            b["valid"] = (np.arange(bs) < n).astype(np.float32)
+            gbatch = shard_batch(b, self.mesh)
             out = jax.device_get(step_fn(
                 self.state.params, self.state.quant_stats,
                 self.teacher_params, gbatch,
@@ -397,6 +408,7 @@ def detect_train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
     barrier("dataset")
 
     trainer = DetectKDTrainer(hp, run=run)
+    best = BestCheckpointer(output_dir, "best_qat_detector")
     epochs = int(hp["epochs"])
     qat_start = int(hp["qat_start_epoch"])
     limit_train = int(hp.get("limit_train_batches", 0))
@@ -436,12 +448,15 @@ def detect_train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
                 ev["teacher_agreement"], tm["imgs_per_sec"],
                 " [QAT]" if trainer.qat_enabled else "",
             )
+            # best-model rule as in classification (BestCheckpointer): save
+            # only when teacher agreement improves — the filename's promise
             qs = trainer.state.quant_stats
-            save_checkpoint(
-                os.path.join(output_dir, "best_qat_detector.msgpack"),
+            best.maybe_save(
+                ev["teacher_agreement"],
                 {"params": jax.device_get(trainer.state.params),
                  "quant_stats": jax.device_get(qs) if qs is not None else {}},
-                {"epoch": epoch, **ev},
+                {"epoch": epoch, **ev,
+                 "qat_enabled": trainer.qat_enabled},
             )
         results.append({"epoch": epoch, **tm, **ev})
         barrier("epoch_end")

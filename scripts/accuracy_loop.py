@@ -390,18 +390,17 @@ def main(argv=None):
             args.workdir, data_dir, float_summary["output_dir"])
     if args.phase == "final":
         return
+    # primary QAT variant: the baseline for the per-channel and PTQ deltas
+    primary = (("qat_amp(bf16)" if "qat_amp(bf16)" in finals
+                else next(iter(finals))) if finals else None)
     if not args.skip_per_channel and finals:
         # per-channel export of the primary QAT variant's last-epoch state
-        primary = ("qat_amp(bf16)" if "qat_amp(bf16)" in finals
-                   else next(iter(finals)))
         extras["per_channel"] = phase_per_channel(
             finals[primary]["output_dir"], data_dir)
         extras["per_channel_baseline"] = finals[primary]["epochs"][-1][
             "quant_acc"]
         extras["per_channel_variant"] = primary
     if "ptq" in extras and finals:
-        primary = ("qat_amp(bf16)" if "qat_amp(bf16)" in finals
-                   else next(iter(finals)))
         extras["qat_int8_baseline"] = finals[primary]["epochs"][-1][
             "quant_acc"]
     phase_report(args.workdir, data_dir, teacher_ckpt, finals, extras)

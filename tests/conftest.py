@@ -84,7 +84,11 @@ def pytest_configure(config):
 
 
 @pytest.hookimpl(hookwrapper=True)
-def pytest_runtest_call(item):
+def pytest_runtest_protocol(item, nextitem):
+    # Wrap the WHOLE protocol (fixture setup + call + teardown), not just the
+    # call phase: the futex-wait wedge above can strike inside a
+    # module-scoped fixture building/converting a model, and a watchdog armed
+    # only around the call body would sleep through it.
     marker = item.get_closest_marker("timeout_s")
     timeout = float(marker.args[0]) if marker else _DEFAULT_TEST_TIMEOUT
     _watchdog_file.write(f"== watchdog armed: {item.nodeid} ({timeout:.0f}s)\n")

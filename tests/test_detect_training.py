@@ -119,6 +119,30 @@ class TestDetectKDTrainer:
         for a, b in zip(flat_m, flat_s):
             np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
+    def test_eval_tail_batch_masked(self):
+        """Eval keeps the tail batch (drop_last=False): the trailing short
+        batch is padded to the compiled size and masked via "valid", so the
+        metrics are IDENTICAL whichever batch size tiles the eval set."""
+        from qat_vit_tpu.data import ArrayLoader
+
+        teacher, student = _micro_bundles()
+        data = _micro_data()  # 16 eval images
+        tr = DetectKDTrainer(_micro_hp(eval_batch_size=16), data=data,
+                             teacher=teacher, student=student)
+        ev_exact = tr.evaluate()  # one exact batch of 16
+        # non-dividing batch size: one batch of 16 padded to 24 (8 masked)
+        tr.hp["eval_batch_size"] = 24
+        tr.eval_loader = ArrayLoader(
+            data["test_images"], data["test_labels"], batch_size=24,
+            shuffle=False, drop_last=False, prefetch=2,
+        )
+        ev_padded = tr.evaluate()
+        assert np.isclose(ev_padded["box_err"], ev_exact["box_err"],
+                          rtol=1e-5), (ev_padded, ev_exact)
+        assert np.isclose(ev_padded["teacher_agreement"],
+                          ev_exact["teacher_agreement"], rtol=1e-5), (
+            ev_padded, ev_exact)
+
     def test_cli_task_routing(self, tmp_path):
         """--task detection routes the trainer CLI into detect_train_main and
         produces the detection artifacts (int8 export + fake-quant ckpt)."""
