@@ -487,6 +487,14 @@ def _fused_blocks(
                 )
             f = xla_dense(g_q, blk["fc2"], blk["gelu_q"], out_dtype=cdt)
             x = x + f
+            if i + 1 == cfg.depth and cfg.num_classes != 0:
+                # classification: only the cls row feeds the head, and LN is
+                # per-token — slice before the FINAL LN+quantize so it runs
+                # over 1 token, not N (the exact path's [:, :1] slice). Not
+                # applicable to mode="pallas"/megablock/megamodel: there the
+                # final LN+quantize is fused into the last fc2 kernel's
+                # epilogue, which already writes it in the residual pass.
+                x = x[:, :1]
             zq = xla_ln_q(x, nxt, nxt["out_q"])
         else:
             x, zq2 = int8_dense_resid_ln_q(

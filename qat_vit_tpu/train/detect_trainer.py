@@ -311,24 +311,33 @@ class DetectKDTrainer:
         out["epoch_seconds"] = dt
         return out
 
-    def evaluate(self, limit_batches: int = 0) -> Dict[str, float]:
-        """Teacher-relative detection metrics over the eval images."""
-        step_fn = self.eval_step_qat if self.qat_enabled else self.eval_step_float
+    def _padded_eval_batches(self, limit_batches: int = 0):
+        """Yield eval batches padded to the compiled eval batch size, with
+        ``query_embeds`` attached and a ``valid`` row mask marking real
+        images. ONE static batch shape for every eval path (evaluate and
+        evaluate_int8): a short tail batch would otherwise trigger a fresh
+        jit compile at a new shape — minutes over the TPU tunnel."""
         bs = int(self.hp.get("eval_batch_size", 64))
-        sums = {"box_err_sum": 0.0, "agree_sum": 0.0, "n": 0.0}
         for i, batch in enumerate(self.eval_loader):
             if limit_batches and i >= limit_batches:
                 break
-            # pad the trailing batch to the compiled size (static shapes /
-            # shard_map divisibility); the step masks padded rows via "valid"
             n = len(batch["image"])
             if n < bs:
                 pad = np.zeros(
                     (bs - n,) + batch["image"].shape[1:], batch["image"].dtype
                 )
                 batch = {"image": np.concatenate([batch["image"], pad])}
+            else:
+                batch = {"image": batch["image"]}
             b = self._with_queries(batch)
             b["valid"] = (np.arange(bs) < n).astype(np.float32)
+            yield b
+
+    def evaluate(self, limit_batches: int = 0) -> Dict[str, float]:
+        """Teacher-relative detection metrics over the eval images."""
+        step_fn = self.eval_step_qat if self.qat_enabled else self.eval_step_float
+        sums = {"box_err_sum": 0.0, "agree_sum": 0.0, "n": 0.0}
+        for b in self._padded_eval_batches(limit_batches):
             gbatch = shard_batch(b, self.mesh)
             out = jax.device_get(step_fn(
                 self.state.params, self.state.quant_stats,
@@ -355,37 +364,35 @@ class DetectKDTrainer:
     def evaluate_int8(self, export=None, limit_batches: int = 0) -> Dict[str, float]:
         """Int8 detector vs the fake-quant detector it was converted from:
         mean |Δbox| and top-box agreement (the detection analog of the
-        classification quant_acc row)."""
+        classification quant_acc row). Batches ride the same padded static
+        shape as :meth:`evaluate` (one compile per eval path)."""
         export = export if export is not None else self.convert_int8()
         cfg = self.student_qat_cfg
         from qat_vit_tpu.data.pipeline import preprocess
 
         @jax.jit
-        def fq_fwd(params, qs, x, q):
-            return self.student_qat.apply(
+        def cmp_step(params, qs, export, x, q, valid):
+            fq = self.student_qat.apply(
                 {"params": params, "quant_stats": qs}, x, q, observe=False)
-
-        @jax.jit
-        def i8_fwd(export, x, q):
-            return int8_detect_apply(export, x, cfg, q,
-                                     text_dim=self.text_dim)
+            i8 = int8_detect_apply(export, x, cfg, q, text_dim=self.text_dim)
+            box = jnp.sum(valid * jnp.mean(
+                jnp.abs(fq["pred_boxes"] - i8["pred_boxes"]), axis=(1, 2)))
+            agree = jnp.sum(valid * jnp.mean(
+                (jnp.argmax(fq["logits"], axis=1)
+                 == jnp.argmax(i8["logits"], axis=1)).astype(jnp.float32),
+                axis=-1))
+            return box, agree
 
         sums = {"box_err": 0.0, "agree": 0.0, "n": 0.0}
-        for i, batch in enumerate(self.eval_loader):
-            if limit_batches and i >= limit_batches:
-                break
-            b = self._with_queries(batch)
+        for b in self._padded_eval_batches(limit_batches):
             x = preprocess(jnp.asarray(b["image"]), size=self.image_size)
             q = jnp.asarray(b["query_embeds"])
-            fq = fq_fwd(self.state.params, self.state.quant_stats, x, q)
-            i8 = i8_fwd(export, x, q)
-            sums["box_err"] += float(jnp.mean(jnp.abs(
-                fq["pred_boxes"] - i8["pred_boxes"]))) * len(x)
-            sums["agree"] += float(jnp.mean(
-                (jnp.argmax(fq["logits"], axis=1)
-                 == jnp.argmax(i8["logits"], axis=1)).astype(jnp.float32)
-            )) * len(x)
-            sums["n"] += len(x)
+            box, agree = cmp_step(
+                self.state.params, self.state.quant_stats, export, x, q,
+                jnp.asarray(b["valid"]))
+            sums["box_err"] += float(box)
+            sums["agree"] += float(agree)
+            sums["n"] += float(b["valid"].sum())
         n = max(sums["n"], 1.0)
         return {"int8_box_err": sums["box_err"] / n,
                 "int8_top_box_agreement": sums["agree"] / n}
@@ -449,7 +456,14 @@ def detect_train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
                 " [QAT]" if trainer.qat_enabled else "",
             )
             # best-model rule as in classification (BestCheckpointer): save
-            # only when teacher agreement improves — the filename's promise
+            # only when teacher agreement improves — the filename's promise.
+            # NOTE (as for classification best_qat.msgpack): a pre-QAT float
+            # epoch can win this metric (quantization noise usually lowers
+            # agreement), in which case best_qat_detector.msgpack holds float
+            # params and EMPTY quant_stats despite the name — consumers that
+            # need calibrated observers must check the qat_enabled metadata
+            # flag. This matches the reference's best-model rule
+            # (qat_trainer.py:373-385: quant_acc aliases qat_acc).
             qs = trainer.state.quant_stats
             best.maybe_save(
                 ev["teacher_agreement"],

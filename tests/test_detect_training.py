@@ -143,6 +143,26 @@ class TestDetectKDTrainer:
                           ev_exact["teacher_agreement"], rtol=1e-5), (
             ev_padded, ev_exact)
 
+        # evaluate_int8 rides the same padded static batch shape (a short
+        # tail would otherwise jit-compile fq/i8 forwards at a fresh shape —
+        # minutes over the TPU tunnel) and masks the padded rows
+        tr.enable_qat()
+        tr.train_epoch(0, limit_batches=2)
+        export = tr.convert_int8()
+        i8_padded = tr.evaluate_int8(export)  # 16 images in a 24-batch
+        tr.hp["eval_batch_size"] = 16
+        tr.eval_loader = ArrayLoader(
+            data["test_images"], data["test_labels"], batch_size=16,
+            shuffle=False, drop_last=False, prefetch=2,
+        )
+        i8_exact = tr.evaluate_int8(export)
+        assert np.isclose(i8_padded["int8_box_err"],
+                          i8_exact["int8_box_err"], rtol=1e-5, atol=1e-8), (
+            i8_padded, i8_exact)
+        assert np.isclose(i8_padded["int8_top_box_agreement"],
+                          i8_exact["int8_top_box_agreement"], rtol=1e-5), (
+            i8_padded, i8_exact)
+
     def test_cli_task_routing(self, tmp_path):
         """--task detection routes the trainer CLI into detect_train_main and
         produces the detection artifacts (int8 export + fake-quant ckpt)."""
