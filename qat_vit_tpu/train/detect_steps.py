@@ -100,7 +100,7 @@ def detect_loss_hparams(hparams: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 
 
 def make_detect_train_step(
-    teacher_apply: Callable,  # (params, x, q) -> detection dict
+    teacher_apply: Optional[Callable],  # (params, x, q) -> detection dict
     student_apply: Callable,  # flax detector apply
     tx: optax.GradientTransformation,
     *,
@@ -116,7 +116,16 @@ def make_detect_train_step(
     The batch carries raw ``image`` pixels and the per-image
     ``query_embeds`` [B, Q, text_dim] (open-vocabulary queries are
     precomputed embeddings in deployment; the text tower is out of scope as
-    in the reference)."""
+    in the reference).
+
+    ``teacher_apply=None`` builds the cached-teacher variant: the batch
+    carries precomputed ``t_logits`` [B, P, Q] / ``t_boxes`` [B, P, 4] /
+    ``t_obj`` [B, P] — the frozen teacher's detection outputs per image are
+    constants (fixed query set, no augmentation), so computing them once
+    removes the teacher detection forward from every step. The detection
+    analog of train/steps.make_train_step's cached-logits contract, and
+    worth more here: the teacher forward is the full-resolution tower, far
+    heavier than the student's pruned one."""
     prep = preprocess_fn(image_size)
     axis = _data_axis(mesh)
     if qat and axis is not None:
@@ -146,7 +155,14 @@ def make_detect_train_step(
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         x = prep(batch["image"])
         q = batch["query_embeds"]
-        t_out = jax.lax.stop_gradient(teacher_apply(teacher_params, x, q))
+        if teacher_apply is None:
+            t_out = {
+                "logits": batch["t_logits"].astype(jnp.float32),
+                "pred_boxes": batch["t_boxes"].astype(jnp.float32),
+                "objectness_logits": batch["t_obj"].astype(jnp.float32),
+            }
+        else:
+            t_out = jax.lax.stop_gradient(teacher_apply(teacher_params, x, q))
 
         def loss_fn(params):
             if qat and observe:

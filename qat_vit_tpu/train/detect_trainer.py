@@ -216,13 +216,22 @@ class DetectKDTrainer:
             return self.teacher.module.apply({"params": p}, x, q,
                                              observe=False)
 
+        self._teacher_apply = teacher_apply
+        # teacher-output cache (default on, as in classification — the
+        # single biggest classification throughput lever, worth more here:
+        # the teacher detection forward is the full-resolution tower).
+        # Mathematically identical: the teacher is frozen, the query set is
+        # fixed per run, and the pipeline has no augmentation, so its
+        # outputs per image are constants.
+        self.cache_teacher = bool(self.hp.get("cache_teacher_logits", True))
+        step_teacher = None if self.cache_teacher else teacher_apply
         step_mesh = self.mesh if self.use_shard_map else None
         self.train_step_float = make_detect_train_step(
-            teacher_apply, self.student_float.apply, self.tx,
+            step_teacher, self.student_float.apply, self.tx,
             qat=False, image_size=image_size, mesh=step_mesh,
         )
         self.train_step_qat = make_detect_train_step(
-            teacher_apply, self.student_qat.apply, self.tx,
+            step_teacher, self.student_qat.apply, self.tx,
             qat=True, image_size=image_size, mesh=step_mesh, qconfig=qconfig,
         )
         self.eval_step_float = make_detect_eval_step(
@@ -233,6 +242,25 @@ class DetectKDTrainer:
             teacher_apply, self.student_qat.apply,
             qat=True, image_size=image_size, mesh=step_mesh,
         )
+        # opt-in observer_interval (same contract as the classification
+        # trainer): observe every k-th QAT step, fake-quant from frozen
+        # stats in between — a SECOND compiled program selected per step in
+        # Python, so each variant keeps full XLA fusion quality
+        self.observer_interval = max(1, int(self.hp.get("observer_interval", 1)))
+        self.train_step_qat_frozen = (
+            make_detect_train_step(
+                step_teacher, self.student_qat.apply, self.tx,
+                qat=True, image_size=image_size, observe=False,
+                mesh=step_mesh, qconfig=qconfig,
+            ) if self.observer_interval > 1 else None
+        )
+        self._qat_py_step = 0
+        # cache arrays (lazy-allocated): per-image teacher outputs
+        self._t_logits: Optional[np.ndarray] = None
+        self._t_boxes: Optional[np.ndarray] = None
+        self._t_obj: Optional[np.ndarray] = None
+        self._teacher_mask: Optional[np.ndarray] = None
+        self._teacher_fwd = None
 
         # ---- data: images only (teacher supplies the targets) ----
         if data is None:
@@ -274,7 +302,99 @@ class DetectKDTrainer:
             step=self.state.step,
         )
         self.qat_enabled = True
+        self._qat_py_step = 0  # first QAT step must observe (±inf markers)
         logger.info("detection QAT enabled (lr -> %.3g)", lr)
+
+    # ------------------------------------------------------------------
+    def _get_teacher_fwd(self):
+        """Jitted prep+teacher detection forward used to fill the cache.
+        Returns float32 (logits, boxes, objectness) for an image chunk."""
+        if self._teacher_fwd is None:
+            from qat_vit_tpu.data.pipeline import preprocess_fn
+
+            prep = preprocess_fn(self.image_size)
+            apply = self._teacher_apply
+
+            @jax.jit
+            def fwd(p, imgs, q):
+                out = apply(p, prep(imgs), q)
+                return (out["logits"].astype(jnp.float32),
+                        out["pred_boxes"].astype(jnp.float32),
+                        out["objectness_logits"].astype(jnp.float32))
+
+            self._teacher_fwd = fwd
+        return self._teacher_fwd
+
+    def _alloc_teacher_cache(self) -> None:
+        """Allocate the per-image output arrays from the teacher's output
+        shapes (eval_shape: no device work)."""
+        n = len(self.data["train_images"])
+        ex_x = jnp.zeros((1, self.image_size, self.image_size, 3), jnp.float32)
+        ex_q = jnp.zeros((1, self.num_queries, self.text_dim), jnp.float32)
+        shapes = jax.eval_shape(
+            self._teacher_apply, self.teacher_params, ex_x, ex_q)
+        p = shapes["pred_boxes"].shape[1]
+        self._t_logits = np.zeros((n, p, self.num_queries), np.float32)
+        self._t_boxes = np.zeros((n, p, 4), np.float32)
+        self._t_obj = np.zeros((n, p), np.float32)
+        self._teacher_mask = np.zeros(n, bool)
+
+    def _ensure_teacher_outputs(self, lazy: bool = False) -> None:
+        """Precompute the frozen teacher's detection outputs over the train
+        images once (or allocate a lazily-filled cache for limited-batch
+        runs — the classification trainer's contract, trainer.py).
+
+        Cache size is P·(Q+5) floats per image (e.g. OWLv2-pruned at 768 px,
+        Q=4: ~83 KB/image, ~4.2 GB for 50k images) — host RAM, never HBM."""
+        if not self.cache_teacher or self._teacher_mask is not None:
+            return
+        self._alloc_teacher_cache()
+        if lazy:
+            logger.info(
+                "teacher output cache: lazy (limited-batch run; rows fill as "
+                "batches are visited)")
+            return
+        fwd = self._get_teacher_fwd()
+        imgs = self.data["train_images"]
+        bs = int(self.hp.get("eval_batch_size", 64))
+        q = jnp.broadcast_to(
+            jnp.asarray(self.queries)[None],
+            (bs, self.num_queries, self.text_dim))
+        t0 = time.perf_counter()
+        for start in range(0, len(imgs), bs):
+            chunk = imgs[start : start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            lg, bx, ob = fwd(self.teacher_params, jnp.asarray(chunk), q)
+            end = start + bs - pad
+            self._t_logits[start:end] = np.asarray(lg)[: bs - pad]
+            self._t_boxes[start:end] = np.asarray(bx)[: bs - pad]
+            self._t_obj[start:end] = np.asarray(ob)[: bs - pad]
+        self._teacher_mask[:] = True
+        logger.info(
+            "cached teacher detection outputs for %d images in %.1fs",
+            len(imgs), time.perf_counter() - t0,
+        )
+
+    def _teacher_outputs_for(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Cached teacher outputs for one host batch, filling misses."""
+        idx = batch["index"]
+        if not self._teacher_mask[idx].all():
+            b = len(batch["image"])
+            q = jnp.broadcast_to(
+                jnp.asarray(self.queries)[None],
+                (b, self.num_queries, self.text_dim))
+            lg, bx, ob = self._get_teacher_fwd()(
+                self.teacher_params, jnp.asarray(batch["image"]), q)
+            self._t_logits[idx] = np.asarray(lg)
+            self._t_boxes[idx] = np.asarray(bx)
+            self._t_obj[idx] = np.asarray(ob)
+            self._teacher_mask[idx] = True
+        return {"t_logits": self._t_logits[idx],
+                "t_boxes": self._t_boxes[idx],
+                "t_obj": self._t_obj[idx]}
 
     # ------------------------------------------------------------------
     def _with_queries(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -288,15 +408,39 @@ class DetectKDTrainer:
 
     def train_epoch(self, epoch: int, limit_batches: int = 0) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
+        # lazy cache only when the run visits a small fraction of the data
+        # (same reshuffle rationale as the classification trainer)
+        lazy = False
+        if limit_batches:
+            planned = (
+                limit_batches * int(self.hp["batch_size"])
+                * self.dist.world_size
+                * max(1, int(self.hp.get("epochs", 1)))
+            )
+            lazy = planned < len(self.data["train_images"]) // 2
+        self._ensure_teacher_outputs(lazy=lazy)
         step_fn = self.train_step_qat if self.qat_enabled else self.train_step_float
+        use_interval = (
+            self.qat_enabled
+            and self.observer_interval > 1
+            and self.train_step_qat_frozen is not None
+        )
         metrics_acc = []
         n_images = 0
         t0 = time.perf_counter()
         for i, batch in enumerate(self.train_loader):
             if limit_batches and i >= limit_batches:
                 break
-            gbatch = shard_batch(self._with_queries(batch), self.mesh)
-            self.state, metrics = step_fn(
+            host_batch = self._with_queries(batch)
+            if self.cache_teacher:
+                host_batch.update(self._teacher_outputs_for(batch))
+            gbatch = shard_batch(host_batch, self.mesh)
+            fn = step_fn
+            if use_interval:
+                if self._qat_py_step % self.observer_interval:
+                    fn = self.train_step_qat_frozen
+                self._qat_py_step += 1
+            self.state, metrics = fn(
                 self.state, self.teacher_params, gbatch, self.loss_hp
             )
             metrics_acc.append(metrics)
@@ -348,6 +492,17 @@ class DetectKDTrainer:
         n = max(sums["n"], 1.0)
         return {"box_err": sums["box_err_sum"] / n,
                 "teacher_agreement": sums["agree_sum"] / n}
+
+    # ------------------------------------------------------------------
+    # Mid-run resume: the detection TrainState has the exact same structure
+    # as the classification one (params / opt_state / quant_stats / step),
+    # and the phase switch is the same enable_qat contract — reuse the
+    # classification trainer's crash-atomic resume implementation verbatim.
+    from qat_vit_tpu.train.trainer import KDQATTrainer as _KDQATTrainer
+
+    save_resume_state = _KDQATTrainer.save_resume_state
+    load_resume_state = _KDQATTrainer.load_resume_state
+    del _KDQATTrainer
 
     # ------------------------------------------------------------------
     def convert_int8(self) -> Dict[str, Any]:
@@ -422,7 +577,11 @@ def detect_train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
     limit_eval = int(hp.get("limit_eval_batches", 0))
     results = []
     int8_metrics: Dict[str, float] = {}
-    for epoch in range(epochs):
+    start_epoch = 0
+    if hp.get("resume"):
+        start_epoch = trainer.load_resume_state(hp["resume"])
+        logger.info("resumed from %s at epoch %d", hp["resume"], start_epoch)
+    for epoch in range(start_epoch, epochs):
         if epoch >= qat_start:
             trainer.enable_qat()
         tm = trainer.train_epoch(epoch, limit_batches=limit_train)
@@ -471,6 +630,10 @@ def detect_train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
                  "quant_stats": jax.device_get(qs) if qs is not None else {}},
                 {"epoch": epoch, **ev,
                  "qat_enabled": trainer.qat_enabled},
+            )
+        if dist.is_main_process and hp.get("save_resume_state", True):
+            trainer.save_resume_state(
+                os.path.join(output_dir, "resume_state.msgpack"), epoch
             )
         results.append({"epoch": epoch, **tm, **ev})
         barrier("epoch_end")
