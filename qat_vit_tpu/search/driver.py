@@ -74,6 +74,10 @@ class SearchConfig:
     # the reference runs optuna multivariate=True (optuna_search.py:127), the
     # in-repo default is univariate per the real-trial A/B (scripts/tpe_ab.py)
     tpe_multivariate: bool = False
+    # "classification" (the reference's task) or "detection" (beyond-ref:
+    # TPE over the detection-KD objective, completing
+    # search→train→convert→serve for the second model family)
+    task: str = "classification"
 
 
 def suggest_hparams(trial, cfg: SearchConfig) -> Dict[str, Any]:
@@ -84,6 +88,25 @@ def suggest_hparams(trial, cfg: SearchConfig) -> Dict[str, Any]:
         "label_smoothing": trial.suggest_float("label_smoothing", 0.0, 0.2),
         "kd_temperature": trial.suggest_float("kd_temperature", 1.5, 6.0),
         "kd_alpha": trial.suggest_float("kd_alpha", 0.2, 0.9),
+        "qat_start_epoch": trial.suggest_int(
+            "qat_start_epoch", 0, max(cfg.epochs - 2, 0)
+        ),
+    }
+
+
+def suggest_detect_hparams(trial, cfg: SearchConfig) -> Dict[str, Any]:
+    """Detection-KD search space (VERDICT r4 directive 3): the reference's
+    lr/wd/T/qat_start ranges plus the detection loss weights — there is no
+    label term, so label_smoothing/kd_alpha give way to box/objectness
+    weights around their trainer defaults (1.0 / 0.25)."""
+    return {
+        "lr": trial.suggest_float("lr", 5e-5, 3e-4, log=True),
+        "weight_decay": trial.suggest_float("weight_decay", 1e-6, 1e-2, log=True),
+        "kd_temperature": trial.suggest_float("kd_temperature", 1.5, 6.0),
+        "det_box_weight": trial.suggest_float(
+            "det_box_weight", 0.2, 5.0, log=True),
+        "det_obj_weight": trial.suggest_float(
+            "det_obj_weight", 0.05, 1.0, log=True),
         "qat_start_epoch": trial.suggest_int(
             "qat_start_epoch", 0, max(cfg.epochs - 2, 0)
         ),
@@ -103,7 +126,20 @@ def run_optuna_search(
         data, source = load_cifar10(cfg.data_dir)
         logger.info("CIFAR-10 source: %s", source)
 
-    if cfg.micro:
+    detection = cfg.task == "detection"
+    if detection:
+        import jax.numpy as jnp
+
+        geo = (dict(image_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=2, mlp_ratio=2.0)
+               if cfg.micro else dict(image_size=cfg.image_size))
+        image_size = geo["image_size"]
+        text_dim = 64 if cfg.micro else int(DEFAULT_HPARAMS["text_dim"])
+        teacher = create_model("owlv2_base_detector", text_dim=text_dim,
+                               dtype=jnp.bfloat16, **geo)
+        student = create_model("owlv2_pruned_detector", text_dim=text_dim,
+                               **geo)
+    elif cfg.micro:
         teacher = create_model("vit_micro_test")
         student = create_model("vit_micro_test")
         image_size = teacher.cfg.image_size
@@ -122,26 +158,53 @@ def run_optuna_search(
         model_parallel=cfg.model_parallel, seed=cfg.seed,
         teacher_ckpt=cfg.teacher_ckpt,
     )
+    if detection:
+        # one query set across ALL trials: the shared teacher-output cache
+        # is only valid if every trial distills against the same queries
+        base_hp.update(task="detection", query_seed=cfg.seed,
+                       text_dim=text_dim)
+        if cfg.micro:
+            base_hp["num_queries"] = 3
 
-    state = {"teacher_params": None, "shared_steps": None, "teacher_logits": None}
+    _PARAM_KEYS = (
+        ("lr", "weight_decay", "kd_temperature", "det_box_weight",
+         "det_obj_weight", "qat_start_epoch")
+        if detection else
+        ("lr", "weight_decay", "label_smoothing", "kd_temperature",
+         "kd_alpha", "qat_start_epoch")
+    )
+    state = {"teacher_params": None, "shared_steps": None,
+             "teacher_logits": None, "teacher_cache": None}
 
     def objective(trial) -> float:
         hp = dict(base_hp)
-        hp.update(suggest_hparams(trial, cfg))
+        hp.update(
+            suggest_detect_hparams(trial, cfg) if detection
+            else suggest_hparams(trial, cfg)
+        )
         run = tracker.start_run(f"trial_{trial.number:04d}")  # ref :156
-        run.log_params({**{k: hp[k] for k in (
-            "lr", "weight_decay", "label_smoothing", "kd_temperature",
-            "kd_alpha", "qat_start_epoch")},
-            "batch_size": cfg.batch_size, "epochs": cfg.epochs,
-            "qat_backend": cfg.qat_backend})
+        run.log_params({**{k: hp[k] for k in _PARAM_KEYS},
+                        "batch_size": cfg.batch_size, "epochs": cfg.epochs,
+                        "qat_backend": cfg.qat_backend})
         try:
-            trainer = KDQATTrainer(
-                hp, data=data, student=student, teacher=teacher,
-                teacher_params=state["teacher_params"],
-                steps=state["shared_steps"],
-                teacher_logits=state["teacher_logits"],
-                seed=cfg.seed + trial.number,  # fresh student per trial (ref :143)
-            )
+            if detection:
+                from qat_vit_tpu.train.detect_trainer import DetectKDTrainer
+
+                trainer = DetectKDTrainer(
+                    hp, data=data, student=student, teacher=teacher,
+                    teacher_params=state["teacher_params"],
+                    steps=state["shared_steps"],
+                    teacher_cache=state["teacher_cache"],
+                    seed=cfg.seed + trial.number,  # fresh student per trial
+                )
+            else:
+                trainer = KDQATTrainer(
+                    hp, data=data, student=student, teacher=teacher,
+                    teacher_params=state["teacher_params"],
+                    steps=state["shared_steps"],
+                    teacher_logits=state["teacher_logits"],
+                    seed=cfg.seed + trial.number,  # fresh student (ref :143)
+                )
             if state["teacher_params"] is None:
                 state["teacher_params"] = trainer.teacher_params
             if state["shared_steps"] is None:
@@ -152,7 +215,11 @@ def run_optuna_search(
                 if epoch >= int(hp["qat_start_epoch"]):
                     trainer.enable_qat()  # ref :179-189
                 tm = trainer.train_epoch(epoch, limit_batches=cfg.limit_train_batches)
-                if state["teacher_logits"] is None and (
+                if detection and state["teacher_cache"] is None:
+                    # share the cache arrays BY REFERENCE (lazy fills in one
+                    # trial serve every later trial)
+                    state["teacher_cache"] = trainer.teacher_cache()
+                if not detection and state["teacher_logits"] is None and (
                     trainer._teacher_logits is not None
                 ):
                     # share the (logits, valid-mask) pair BY REFERENCE: with
@@ -160,20 +227,41 @@ def run_optuna_search(
                     # trial serve every later trial
                     state["teacher_logits"] = (
                         trainer._teacher_logits, trainer._teacher_mask)
-                acc = trainer.evaluate(limit_batches=cfg.limit_eval_batches)
-                best_acc = max(best_acc, acc)
-                run.log_metrics(
-                    {
-                        "train_loss": tm.get("train_loss", 0.0),
-                        "train_loss_ce": tm.get("train_loss_ce", 0.0),
-                        "train_loss_kd": tm.get("train_loss_kd", 0.0),
-                        "val_acc_limited": acc,
-                        "best_val_acc_limited": best_acc,
-                        "qat_enabled": float(trainer.qat_enabled),
-                        "amp_enabled": float(not trainer.qat_enabled and hp["amp"]),
-                    },
-                    step=epoch,
-                )  # metric names ≙ ref :253-259
+                if detection:
+                    ev = trainer.evaluate(
+                        limit_batches=cfg.limit_eval_batches)
+                    acc = ev["teacher_agreement"]
+                    best_acc = max(best_acc, acc)
+                    run.log_metrics(
+                        {
+                            "train_loss": tm.get("train_loss", 0.0),
+                            "train_loss_kd": tm.get("train_loss_kd", 0.0),
+                            "train_loss_box": tm.get("train_loss_box", 0.0),
+                            "train_loss_obj": tm.get("train_loss_obj", 0.0),
+                            "box_err_limited": ev["box_err"],
+                            "val_agreement_limited": acc,
+                            "best_val_agreement_limited": best_acc,
+                            "qat_enabled": float(trainer.qat_enabled),
+                        },
+                        step=epoch,
+                    )
+                else:
+                    acc = trainer.evaluate(
+                        limit_batches=cfg.limit_eval_batches)
+                    best_acc = max(best_acc, acc)
+                    run.log_metrics(
+                        {
+                            "train_loss": tm.get("train_loss", 0.0),
+                            "train_loss_ce": tm.get("train_loss_ce", 0.0),
+                            "train_loss_kd": tm.get("train_loss_kd", 0.0),
+                            "val_acc_limited": acc,
+                            "best_val_acc_limited": best_acc,
+                            "qat_enabled": float(trainer.qat_enabled),
+                            "amp_enabled": float(
+                                not trainer.qat_enabled and hp["amp"]),
+                        },
+                        step=epoch,
+                    )  # metric names ≙ ref :253-259
                 trial.report(acc, epoch)  # ref :250
                 if trial.should_prune():  # ref :261-263
                     run.set_tag("optuna_state", "PRUNED")
@@ -181,7 +269,7 @@ def run_optuna_search(
                     raise_pruned()
             run.set_tag("optuna_state", "COMPLETE")
             run.end("FINISHED")
-            return acc  # final-epoch limited val acc (ref objective)
+            return acc  # final-epoch limited val metric (ref objective)
         except _PrunedSignal:
             raise
         except Exception:

@@ -78,6 +78,8 @@ class DetectKDTrainer:
         teacher: Optional[ModelBundle] = None,
         teacher_params: Optional[Any] = None,
         seed: Optional[int] = None,
+        steps: Optional[Dict[str, Any]] = None,
+        teacher_cache: Optional[tuple] = None,
     ):
         self.hp = dict(hparams)
         self.dist = get_dist_info()
@@ -185,7 +187,12 @@ class DetectKDTrainer:
         )["params"]
         params = jax.device_put(params, repl)
 
-        # fixed query embeddings for the run (unit-norm, seeded)
+        # fixed query embeddings for the run (unit-norm, seeded). query_seed
+        # (optional) pins them independently of the trainer seed — the
+        # search driver varies the student seed per trial but must keep ONE
+        # query set so the shared teacher-output cache stays valid.
+        if int(self.hp.get("query_seed", -1)) >= 0:
+            rng_q = jax.random.key(int(self.hp["query_seed"]))
         q = jax.random.normal(
             rng_q, (self.num_queries, self.text_dim), jnp.float32
         )
@@ -226,19 +233,20 @@ class DetectKDTrainer:
         self.cache_teacher = bool(self.hp.get("cache_teacher_logits", True))
         step_teacher = None if self.cache_teacher else teacher_apply
         step_mesh = self.mesh if self.use_shard_map else None
-        self.train_step_float = make_detect_train_step(
+        shared = steps if steps is not None else {}
+        self.train_step_float = shared.get("train_float") or make_detect_train_step(
             step_teacher, self.student_float.apply, self.tx,
             qat=False, image_size=image_size, mesh=step_mesh,
         )
-        self.train_step_qat = make_detect_train_step(
+        self.train_step_qat = shared.get("train_qat") or make_detect_train_step(
             step_teacher, self.student_qat.apply, self.tx,
             qat=True, image_size=image_size, mesh=step_mesh, qconfig=qconfig,
         )
-        self.eval_step_float = make_detect_eval_step(
+        self.eval_step_float = shared.get("eval_float") or make_detect_eval_step(
             teacher_apply, self.student_float.apply,
             qat=False, image_size=image_size, mesh=step_mesh,
         )
-        self.eval_step_qat = make_detect_eval_step(
+        self.eval_step_qat = shared.get("eval_qat") or make_detect_eval_step(
             teacher_apply, self.student_qat.apply,
             qat=True, image_size=image_size, mesh=step_mesh,
         )
@@ -247,7 +255,7 @@ class DetectKDTrainer:
         # stats in between — a SECOND compiled program selected per step in
         # Python, so each variant keeps full XLA fusion quality
         self.observer_interval = max(1, int(self.hp.get("observer_interval", 1)))
-        self.train_step_qat_frozen = (
+        self.train_step_qat_frozen = shared.get("train_qat_frozen") or (
             make_detect_train_step(
                 step_teacher, self.student_qat.apply, self.tx,
                 qat=True, image_size=image_size, observe=False,
@@ -255,11 +263,17 @@ class DetectKDTrainer:
             ) if self.observer_interval > 1 else None
         )
         self._qat_py_step = 0
-        # cache arrays (lazy-allocated): per-image teacher outputs
+        # cache arrays (lazy-allocated): per-image teacher outputs. A
+        # ``teacher_cache`` tuple shares them BY REFERENCE across trainers
+        # (the search driver's cross-trial reuse: rows filled in one trial
+        # serve every later trial — same frozen teacher, same query seed).
         self._t_logits: Optional[np.ndarray] = None
         self._t_boxes: Optional[np.ndarray] = None
         self._t_obj: Optional[np.ndarray] = None
         self._teacher_mask: Optional[np.ndarray] = None
+        if teacher_cache is not None:
+            (self._t_logits, self._t_boxes, self._t_obj,
+             self._teacher_mask) = teacher_cache
         self._teacher_fwd = None
 
         # ---- data: images only (teacher supplies the targets) ----
@@ -279,6 +293,26 @@ class DetectKDTrainer:
             batch_size=int(self.hp.get("eval_batch_size", 64)),
             shuffle=False, drop_last=False, prefetch=2,
         )
+
+    # ------------------------------------------------------------------
+    def shared_steps(self) -> Dict[str, Any]:
+        """Hand these to the next trainer (same architecture) to reuse the
+        compiled steps — zero recompiles across search trials."""
+        return {
+            "train_float": self.train_step_float,
+            "eval_float": self.eval_step_float,
+            "train_qat": self.train_step_qat,
+            "eval_qat": self.eval_step_qat,
+            "train_qat_frozen": self.train_step_qat_frozen,
+        }
+
+    def teacher_cache(self) -> Optional[tuple]:
+        """The shareable (logits, boxes, obj, mask) cache arrays, or None if
+        the cache was never allocated."""
+        if self._teacher_mask is None:
+            return None
+        return (self._t_logits, self._t_boxes, self._t_obj,
+                self._teacher_mask)
 
     # ------------------------------------------------------------------
     def enable_qat(self) -> None:
