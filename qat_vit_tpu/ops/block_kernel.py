@@ -44,9 +44,10 @@ from qat_vit_tpu.ops import _tiling as tiling
 _LANE = 128
 
 
-def _q8(y, inv_s, zp):
-    """f32 -> shifted int8 on the uint8 grid (see ops/quantized_matmul)."""
-    return (jnp.clip(jnp.round(y * inv_s + zp), 0.0, 255.0) - 128.0).astype(
+def _q8(y, inv_s, zp, qmax=255.0):
+    """f32 -> shifted int8 on the activation grid [0, qmax] (255 qnnpack /
+    127 fbgemm reduced-range; see ops/quantized_matmul)."""
+    return (jnp.clip(jnp.round(y * inv_s + zp), 0.0, qmax) - 128.0).astype(
         jnp.int8
     )
 
@@ -64,7 +65,7 @@ def _ln(y, g_ref, b_ref, eps):
 
 def _block_tile_body(
     zq, x, w, qs,
-    *, num_heads, head_dim, eps, n_valid, block_b,
+    *, num_heads, head_dim, eps, n_valid, block_b, qmax=255.0,
 ):
     """One ViT block over one [block_b, n_pad, d] activation tile, as pure
     VMEM-value dataflow — shared by the per-block kernel (`_block_kernel`)
@@ -159,21 +160,22 @@ def _block_tile_body(
         )
         for b in range(block_b)
     ]
-    o_q = _q8(jnp.stack(o_rows).reshape(block_b * n_pad, d), inv_so, zp_o)
+    o_q = _q8(jnp.stack(o_rows).reshape(block_b * n_pad, d), inv_so, zp_o,
+              qmax)
 
     # ---- proj GEMM + residual -> x_mid; LN2 -> int8 fc1 input ------------
     acc = jnp.dot(o_q, w["wproj"], preferred_element_type=jnp.int32)
     p_out = _dequant(acc, w["cs_proj"], w["ws_proj"], w["b_proj"], s_o,
                      z_o - 128)
     x_mid = x.reshape(block_b * n_pad, d).astype(jnp.float32) + p_out
-    zq2 = _q8(_ln(x_mid, w["g2"], w["b2"], eps), inv_s2, zp_2)
+    zq2 = _q8(_ln(x_mid, w["g2"], w["b2"], eps), inv_s2, zp_2, qmax)
 
     # ---- fc1 GEMM + GELU -> int8 fc2 input --------------------------------
     s_2 = 1.0 / inv_s2
     z_2 = zp_2.astype(jnp.int32)
     acc = jnp.dot(zq2, w["wfc1"], preferred_element_type=jnp.int32)
     f1 = _dequant(acc, w["cs_fc1"], w["ws_fc1"], w["b_fc1"], s_2, z_2 - 128)
-    g_q = _q8(jax.nn.gelu(f1, approximate=True), inv_sg, zp_g)
+    g_q = _q8(jax.nn.gelu(f1, approximate=True), inv_sg, zp_g, qmax)
 
     # ---- fc2 GEMM + residual -> x'; next-block LN1 -> int8 ----------------
     s_g = 1.0 / inv_sg
@@ -181,7 +183,7 @@ def _block_tile_body(
     acc = jnp.dot(g_q, w["wfc2"], preferred_element_type=jnp.int32)
     f2 = _dequant(acc, w["cs_fc2"], w["ws_fc2"], w["b_fc2"], s_g, z_g - 128)
     x_out = x_mid + f2
-    zq_out = _q8(_ln(x_out, w["gn"], w["bn"], eps), inv_sn, zp_n)
+    zq_out = _q8(_ln(x_out, w["gn"], w["bn"], eps), inv_sn, zp_n, qmax)
     return (
         x_out.reshape(block_b, n_pad, d),
         zq_out.reshape(block_b, n_pad, d),
@@ -203,7 +205,7 @@ def _block_kernel(
     # qkv / proj / fc1 / fc2 weight panels (+colsum rows fused into *_cs),
     # then LayerNorm parameter rows — _W_KEYS order
     *refs,
-    num_heads, head_dim, eps, n_valid, block_b,
+    num_heads, head_dim, eps, n_valid, block_b, qmax,
 ):
     qs_ref = refs[len(_W_KEYS)]
     xout_ref, zqout_ref = refs[len(_W_KEYS) + 1 :]
@@ -212,7 +214,7 @@ def _block_kernel(
     x_out, zq_out = _block_tile_body(
         zq_ref[:], x_ref[:], w, qs,
         num_heads=num_heads, head_dim=head_dim, eps=eps, n_valid=n_valid,
-        block_b=block_b,
+        block_b=block_b, qmax=qmax,
     )
     xout_ref[:] = x_out.astype(xout_ref.dtype)
     zqout_ref[:] = zq_out
@@ -241,10 +243,11 @@ def _gemm_rows(layer, k, n):
 @partial(
     jax.jit,
     static_argnames=("num_heads", "head_dim", "eps", "n_valid", "block_b",
-                     "interpret"),
+                     "qmax", "interpret"),
 )
 def _run_block(
-    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, interpret
+    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, qmax,
+    interpret
 ):
     bb, n_pad, d = zq.shape
     grid = (bb // block_b,)
@@ -270,7 +273,7 @@ def _run_block(
     x_out, zq_out = pl.pallas_call(
         partial(
             _block_kernel, num_heads=num_heads, head_dim=head_dim, eps=eps,
-            n_valid=n_valid, block_b=block_b,
+            n_valid=n_valid, block_b=block_b, qmax=qmax,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bb, n_pad, d), x.dtype),
@@ -313,6 +316,7 @@ def block_forward(
     eps: float = 1e-6,
     n_valid: int,
     block_b: int = 4,
+    quant_max: float = 255.0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:  # N_pad: any multiple of 32 works
     # (lane-dim remainders on the [N,N] score tile are masked by Mosaic);
@@ -356,7 +360,8 @@ def block_forward(
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
     x_out, zq_out = _run_block(
         zq, x, args, qs, num_heads=num_heads, head_dim=head_dim, eps=eps,
-        n_valid=n_valid, block_b=block_b, interpret=interpret,
+        n_valid=n_valid, block_b=block_b, qmax=float(quant_max),
+        interpret=interpret,
     )
     return x_out[:bb], zq_out[:bb]
 
@@ -364,7 +369,7 @@ def block_forward(
 def _model_kernel(
     zq_ref, x_ref,
     *refs,
-    num_heads, head_dim, eps, n_valid, block_b, depth,
+    num_heads, head_dim, eps, n_valid, block_b, depth, qmax,
 ):
     """All ``depth`` blocks over one batch tile, one grid step per (tile,
     block). The activation tile lives in the OUTPUT refs across the depth
@@ -390,7 +395,7 @@ def _model_kernel(
     x_out, zq_out = _block_tile_body(
         zqout_ref[:], xout_ref[:], w, qs,
         num_heads=num_heads, head_dim=head_dim, eps=eps, n_valid=n_valid,
-        block_b=block_b,
+        block_b=block_b, qmax=qmax,
     )
     xout_ref[:] = x_out.astype(xout_ref.dtype)
     zqout_ref[:] = zq_out
@@ -399,7 +404,7 @@ def _model_kernel(
 def _model_resident_kernel(
     zq_ref, x_ref,
     *refs,
-    num_heads, head_dim, eps, n_valid, block_b, depth,
+    num_heads, head_dim, eps, n_valid, block_b, depth, qmax,
 ):
     """All ``depth`` blocks over one batch tile in ONE grid step: every
     weight panel rides a grid-INVARIANT index map, so Mosaic fetches each
@@ -419,7 +424,7 @@ def _model_resident_kernel(
         x, zq = _block_tile_body(
             zq, x, w, qs,
             num_heads=num_heads, head_dim=head_dim, eps=eps, n_valid=n_valid,
-            block_b=block_b,
+            block_b=block_b, qmax=qmax,
         )
         # the chained/streamed forms round the residual stream to the
         # stream dtype (bf16) at every block boundary; match for bit-identity
@@ -431,10 +436,11 @@ def _model_resident_kernel(
 @partial(
     jax.jit,
     static_argnames=("num_heads", "head_dim", "eps", "n_valid", "block_b",
-                     "interpret"),
+                     "qmax", "interpret"),
 )
 def _run_model_resident(
-    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, interpret
+    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, qmax,
+    interpret
 ):
     bb, n_pad, d = zq.shape
     depth = qs.shape[0]
@@ -452,6 +458,7 @@ def _run_model_resident(
         partial(
             _model_resident_kernel, num_heads=num_heads, head_dim=head_dim,
             eps=eps, n_valid=n_valid, block_b=block_b, depth=depth,
+            qmax=qmax,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bb, n_pad, d), x.dtype),
@@ -482,10 +489,11 @@ def _run_model_resident(
 @partial(
     jax.jit,
     static_argnames=("num_heads", "head_dim", "eps", "n_valid", "block_b",
-                     "interpret"),
+                     "qmax", "interpret"),
 )
 def _run_model(
-    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, interpret
+    zq, x, args, qs, *, num_heads, head_dim, eps, n_valid, block_b, qmax,
+    interpret
 ):
     bb, n_pad, d = zq.shape
     depth = qs.shape[0]
@@ -506,7 +514,7 @@ def _run_model(
     x_out, zq_out = pl.pallas_call(
         partial(
             _model_kernel, num_heads=num_heads, head_dim=head_dim, eps=eps,
-            n_valid=n_valid, block_b=block_b, depth=depth,
+            n_valid=n_valid, block_b=block_b, depth=depth, qmax=qmax,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bb, n_pad, d), x.dtype),
@@ -547,6 +555,7 @@ def model_forward(
     eps: float = 1e-6,
     n_valid: int,
     block_b: int = 4,
+    quant_max: float = 255.0,
     interpret: bool = False,
     resident: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -608,7 +617,7 @@ def model_forward(
     x_out, zq_out = run(
         zq, x, tuple(stacked), qs_all, num_heads=num_heads,
         head_dim=head_dim, eps=eps, n_valid=n_valid, block_b=block_b,
-        interpret=interpret,
+        qmax=float(quant_max), interpret=interpret,
     )
     return x_out[:bb], zq_out[:bb]
 

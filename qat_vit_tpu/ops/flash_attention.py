@@ -124,7 +124,7 @@ def fq_tile(t, scale, zp, quant_min: int, quant_max: int):
 
 def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
                             scale, n_valid, block_b, group, quantize,
-                            in_fq=None):
+                            in_fq=None, qmax=255.0):
     """Group-masked attention: 128-aligned slices only, no transposes.
 
     Heads are processed in lane GROUPS of ``group = 128 // head_dim`` heads
@@ -194,7 +194,7 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
         width = min(gw, d - base)
         if quantize:
             q8 = jnp.clip(
-                jnp.round(acc * qs_ref[0, 0] + qs_ref[0, 1]), 0.0, 255.0
+                jnp.round(acc * qs_ref[0, 0] + qs_ref[0, 1]), 0.0, qmax
             ) - 128.0
             out_ref[b, :, base : base + width] = q8.astype(jnp.int8)
         else:
@@ -203,9 +203,10 @@ def _fused_attention_kernel(qkv_ref, qs_ref, out_ref, *, num_heads, head_dim,
 
 @partial(jax.jit, static_argnames=("num_heads", "head_dim", "block_b",
                                    "quantize", "interpret", "pad_multiple",
-                                   "in_fq"))
+                                   "in_fq", "qmax"))
 def _fused_attention_call(qkv, qs, num_heads, head_dim, block_b, quantize,
-                          interpret, pad_multiple=_LANE, in_fq=None):
+                          interpret, pad_multiple=_LANE, in_fq=None,
+                          qmax=255.0):
     b, n, three_d = qkv.shape
     d = num_heads * head_dim
     assert three_d == 3 * d, (three_d, d)
@@ -229,6 +230,7 @@ def _fused_attention_call(qkv, qs, num_heads, head_dim, block_b, quantize,
             group=group,
             quantize=quantize,
             in_fq=in_fq,
+            qmax=qmax,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (b_pad, n_pad, d), jnp.int8 if quantize else qkv.dtype
@@ -270,6 +272,7 @@ def fused_attention_qkv(
     head_dim: int,
     block_b: int = 4,
     out_q: dict = None,
+    quant_max: float = 255.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused MHA over the packed qkv tensor → [B, N, H*HD].
@@ -284,7 +287,8 @@ def fused_attention_qkv(
             jnp.asarray(out_q["zero_point"], jnp.float32).reshape(()),
         ]).reshape(1, 2)
         return _fused_attention_call(
-            qkv, qs, num_heads, head_dim, block_b, True, interpret
+            qkv, qs, num_heads, head_dim, block_b, True, interpret,
+            qmax=float(quant_max),
         )
     qs = jnp.zeros((1, 2), jnp.float32)
     return _fused_attention_call(

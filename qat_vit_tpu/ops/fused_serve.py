@@ -36,8 +36,9 @@ _INT8_SUBLANE = 32
 _TILE_M = 512
 
 
-def _quantize_shifted(y: jnp.ndarray, inv_s: jnp.ndarray, zp: jnp.ndarray):
-    q = jnp.clip(jnp.round(y * inv_s + zp), 0.0, 255.0) - 128.0
+def _quantize_shifted(y: jnp.ndarray, inv_s: jnp.ndarray, zp: jnp.ndarray,
+                      qmax: float = 255.0):
+    q = jnp.clip(jnp.round(y * inv_s + zp), 0.0, qmax) - 128.0
     return q.astype(jnp.int8)
 
 
@@ -67,7 +68,7 @@ def _plain_kernel(x_ref, w_ref, colsum_ref, bias_ref, ws_ref, qs_ref, out_ref):
 # ---------------------------------------------------------------------------
 
 def _gelu_q_kernel(
-    x_ref, w_ref, colsum_ref, bias_ref, ws_ref, qs_ref, out_ref, *, act
+    x_ref, w_ref, colsum_ref, bias_ref, ws_ref, qs_ref, out_ref, *, act, qmax
 ):
     acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
     y = _dequant(acc, colsum_ref[:], ws_ref[:], bias_ref[:], qs_ref)
@@ -75,7 +76,7 @@ def _gelu_q_kernel(
         g = y * jax.nn.sigmoid(1.702 * y)
     else:
         g = jax.nn.gelu(y, approximate=True)
-    out_ref[:] = _quantize_shifted(g, qs_ref[0, 2], qs_ref[0, 3])
+    out_ref[:] = _quantize_shifted(g, qs_ref[0, 2], qs_ref[0, 3], qmax)
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +86,7 @@ def _gelu_q_kernel(
 
 def _resid_ln_q_kernel(
     x_ref, res_ref, w_ref, colsum_ref, bias_ref, ws_ref, g_ref, b_ref,
-    qs_ref, y_ref, q_ref, *, eps,
+    qs_ref, y_ref, q_ref, *, eps, qmax,
 ):
     acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
     y = _dequant(acc, colsum_ref[:], ws_ref[:], bias_ref[:], qs_ref)
@@ -94,19 +95,19 @@ def _resid_ln_q_kernel(
     mean = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
     z = (y - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
-    q_ref[:] = _quantize_shifted(z, qs_ref[0, 2], qs_ref[0, 3])
+    q_ref[:] = _quantize_shifted(z, qs_ref[0, 2], qs_ref[0, 3], qmax)
 
 
 # ---------------------------------------------------------------------------
 # entry: LN(x) -> int8 (no GEMM; block-0 LN1 and the final norm)
 # ---------------------------------------------------------------------------
 
-def _ln_q_kernel(x_ref, g_ref, b_ref, qs_ref, q_ref, *, eps):
+def _ln_q_kernel(x_ref, g_ref, b_ref, qs_ref, q_ref, *, eps, qmax):
     x = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     z = (x - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
-    q_ref[:] = _quantize_shifted(z, qs_ref[0, 2], qs_ref[0, 3])
+    q_ref[:] = _quantize_shifted(z, qs_ref[0, 2], qs_ref[0, 3], qmax)
 
 
 # ---------------------------------------------------------------------------
@@ -179,13 +180,14 @@ def _run_plain(x_q, w_q, colsum, bias, ws, qs, *, tile_m, out_dtype, interpret):
     return out[:m_orig]
 
 
-@partial(jax.jit, static_argnames=("tile_m", "act", "interpret"))
-def _run_gelu_q(x_q, w_q, colsum, bias, ws, qs, *, tile_m, act, interpret):
+@partial(jax.jit, static_argnames=("tile_m", "act", "qmax", "interpret"))
+def _run_gelu_q(x_q, w_q, colsum, bias, ws, qs, *, tile_m, act, qmax,
+                interpret):
     k, n = w_q.shape
     x_q, m_orig = _pad_rows(x_q, tile_m)
     grid = (x_q.shape[0] // tile_m,)
     out = pl.pallas_call(
-        partial(_gelu_q_kernel, act=act),
+        partial(_gelu_q_kernel, act=act, qmax=qmax),
         out_shape=jax.ShapeDtypeStruct((x_q.shape[0], n), jnp.int8),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -214,17 +216,18 @@ def _run_gelu_q(x_q, w_q, colsum, bias, ws, qs, *, tile_m, act, interpret):
     return out[:m_orig]
 
 
-@partial(jax.jit, static_argnames=("tile_m", "out_dtype", "eps", "interpret"))
+@partial(jax.jit,
+         static_argnames=("tile_m", "out_dtype", "eps", "qmax", "interpret"))
 def _run_resid_ln_q(
     x_q, res, w_q, colsum, bias, ws, g, b, qs,
-    *, tile_m, out_dtype, eps, interpret,
+    *, tile_m, out_dtype, eps, qmax, interpret,
 ):
     k, n = w_q.shape
     x_q, m_orig = _pad_rows(x_q, tile_m)
     res, _ = _pad_rows(res, tile_m)
     grid = (x_q.shape[0] // tile_m,)
     y, q = pl.pallas_call(
-        partial(_resid_ln_q_kernel, eps=eps),
+        partial(_resid_ln_q_kernel, eps=eps, qmax=qmax),
         out_shape=(
             jax.ShapeDtypeStruct((x_q.shape[0], n), out_dtype),
             jax.ShapeDtypeStruct((x_q.shape[0], n), jnp.int8),
@@ -261,13 +264,13 @@ def _run_resid_ln_q(
     return y[:m_orig], q[:m_orig]
 
 
-@partial(jax.jit, static_argnames=("tile_m", "eps", "interpret"))
-def _run_ln_q(x, g, b, qs, *, tile_m, eps, interpret):
+@partial(jax.jit, static_argnames=("tile_m", "eps", "qmax", "interpret"))
+def _run_ln_q(x, g, b, qs, *, tile_m, eps, qmax, interpret):
     n = x.shape[-1]
     x, m_orig = _pad_rows(x, tile_m)
     grid = (x.shape[0] // tile_m,)
     q = pl.pallas_call(
-        partial(_ln_q_kernel, eps=eps),
+        partial(_ln_q_kernel, eps=eps, qmax=qmax),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], n), jnp.int8),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -321,14 +324,15 @@ def int8_dense(
 
 def int8_dense_gelu_q(
     x_q: jnp.ndarray, layer: dict, in_q: dict, gelu_out_q: dict, *,
-    act: str = "gelu", tile_m: int = _TILE_M, interpret: bool = False,
+    act: str = "gelu", tile_m: int = _TILE_M, quant_max: float = 255.0,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     lead = x_q.shape[:-1]
     colsum, bias, ws = _prep_layer(layer)
     out = _run_gelu_q(
         _as_2d(x_q), layer["w_int8"], colsum, bias, ws,
         _qscales(in_q, gelu_out_q),
-        tile_m=tile_m, act=act, interpret=interpret,
+        tile_m=tile_m, act=act, qmax=float(quant_max), interpret=interpret,
     )
     return out.reshape(*lead, -1)
 
@@ -337,7 +341,7 @@ def int8_dense_resid_ln_q(
     x_q: jnp.ndarray, layer: dict, in_q: dict, residual: jnp.ndarray,
     ln: dict, ln_out_q: dict, *,
     eps: float = 1e-6, out_dtype=jnp.bfloat16, tile_m: int = _TILE_M,
-    interpret: bool = False,
+    quant_max: float = 255.0, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     lead = x_q.shape[:-1]
     n = layer["w_int8"].shape[1]
@@ -346,14 +350,16 @@ def int8_dense_resid_ln_q(
         _as_2d(x_q), _as_2d(residual), layer["w_int8"], colsum, bias, ws,
         _row(ln["scale"], n, jnp.float32), _row(ln["bias"], n, jnp.float32),
         _qscales(in_q, ln_out_q),
-        tile_m=tile_m, out_dtype=out_dtype, eps=eps, interpret=interpret,
+        tile_m=tile_m, out_dtype=out_dtype, eps=eps, qmax=float(quant_max),
+        interpret=interpret,
     )
     return y.reshape(*lead, n), q.reshape(*lead, n)
 
 
 def ln_quantize(
     x: jnp.ndarray, ln: dict, out_q: dict, *,
-    eps: float = 1e-6, tile_m: int = _TILE_M, interpret: bool = False,
+    eps: float = 1e-6, tile_m: int = _TILE_M, quant_max: float = 255.0,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     lead = x.shape[:-1]
     n = x.shape[-1]
@@ -361,7 +367,7 @@ def ln_quantize(
         _as_2d(x),
         _row(ln["scale"], n, jnp.float32), _row(ln["bias"], n, jnp.float32),
         _qscales({"scale": 1.0, "zero_point": 0.0}, out_q),
-        tile_m=tile_m, eps=eps, interpret=interpret,
+        tile_m=tile_m, eps=eps, qmax=float(quant_max), interpret=interpret,
     )
     return q.reshape(*lead, n)
 

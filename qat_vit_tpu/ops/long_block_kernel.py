@@ -83,7 +83,7 @@ def _long_block_impl(
     qkv_scr, o_scr, qk8_scr,
     *, num_heads, head_dim, mlp_dim, act, eps, n_valid, q_tile, row_chunk,
     phases=("qkv", "attn", "mlp"), stripe_unroll=1, chunk_unroll=1,
-    int8_scores=False,
+    int8_scores=False, qmax=255.0,
 ):
     # ``phases`` is a measurement-only ablation knob (scripts/long_block
     # probes): dropping a phase makes the numerics garbage but isolates that
@@ -147,7 +147,7 @@ def _long_block_impl(
                 # q,k on the qkv out_q int8 grid (the fake-quant site the QAT
                 # graph trains through) — feeds the int8 score dot in phase 2
                 qk8_scr[img, pl.ds(c * row_chunk, row_chunk), :] = _q8(
-                    y[:, : 2 * d], inv_so, zp_o)
+                    y[:, : 2 * d], inv_so, zp_o, qmax)
         return _
 
     if "qkv" in phases:
@@ -225,23 +225,24 @@ def _long_block_impl(
     def mlp_chunk(c, _):
         rows = pl.ds(c * row_chunk, row_chunk)
         for img in range(bb):
-            o_q = _q8(o_scr[img, rows, :], inv_so, zp_o)
+            o_q = _q8(o_scr[img, rows, :], inv_so, zp_o, qmax)
             acc = jnp.dot(o_q, w["wproj"], preferred_element_type=jnp.int32)
             p_out = _dequant(acc, w["cs_proj"], w["ws_proj"], w["b_proj"],
                              s_o, z_o - 128)
             x_mid = x_ref[img, rows, :].astype(jnp.float32) + p_out
-            zq2 = _q8(_ln(x_mid, w["g2"], w["b2"], eps), inv_s2, zp_2)
+            zq2 = _q8(_ln(x_mid, w["g2"], w["b2"], eps), inv_s2, zp_2,
+                      qmax)
             acc = jnp.dot(zq2, w["wfc1"], preferred_element_type=jnp.int32)
             f1 = _dequant(acc, w["cs_fc1"], w["ws_fc1"], w["b_fc1"], s_2,
                           z_2 - 128)
-            g_q = _q8(_act_fn(f1, act), inv_sg, zp_g)
+            g_q = _q8(_act_fn(f1, act), inv_sg, zp_g, qmax)
             acc = jnp.dot(g_q, w["wfc2"], preferred_element_type=jnp.int32)
             f2 = _dequant(acc, w["cs_fc2"], w["ws_fc2"], w["b_fc2"], s_g,
                           z_g - 128)
             x_out = x_mid + f2
             xout_ref[img, rows, :] = x_out.astype(xout_ref.dtype)
             zqout_ref[img, rows, :] = _q8(_ln(x_out, w["gn"], w["bn"], eps),
-                                          inv_sn, zp_n)
+                                          inv_sn, zp_n, qmax)
         return _
 
     if "mlp" in phases:
@@ -297,12 +298,13 @@ def _long_model_kernel(zq_ref, x_ref, *refs, **kw):
     static_argnames=("num_heads", "head_dim", "mlp_dim", "act", "eps",
                      "n_valid", "q_tile", "row_chunk", "interpret", "phases",
                      "stripe_unroll", "chunk_unroll", "int8_scores",
-                     "block_b"),
+                     "block_b", "qmax"),
 )
 def _run_long_block(
     zq, x, args, qs, *, num_heads, head_dim, mlp_dim, act, eps, n_valid,
     q_tile, row_chunk, interpret, phases=("qkv", "attn", "mlp"),
-    stripe_unroll=1, chunk_unroll=1, int8_scores=False, block_b=1
+    stripe_unroll=1, chunk_unroll=1, int8_scores=False, block_b=1,
+    qmax=255.0
 ):
     b, n_pad, d = zq.shape
     tile = lambda r: pl.BlockSpec(  # noqa: E731
@@ -330,7 +332,7 @@ def _run_long_block(
             mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid,
             q_tile=q_tile, row_chunk=row_chunk, phases=phases,
             stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
-            int8_scores=int8_scores,
+            int8_scores=int8_scores, qmax=qmax,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
@@ -373,12 +375,12 @@ def _run_long_block(
     static_argnames=("num_heads", "head_dim", "mlp_dim", "act", "eps",
                      "n_valid", "q_tile", "row_chunk", "interpret",
                      "stripe_unroll", "chunk_unroll", "int8_scores",
-                     "block_b"),
+                     "block_b", "qmax"),
 )
 def _run_long_model(
     zq, x, args, qs, *, num_heads, head_dim, mlp_dim, act, eps, n_valid,
     q_tile, row_chunk, interpret, stripe_unroll=1, chunk_unroll=1,
-    int8_scores=False, block_b=1
+    int8_scores=False, block_b=1, qmax=255.0
 ):
     b, n_pad, d = zq.shape
     depth = qs.shape[0]
@@ -400,7 +402,7 @@ def _run_long_model(
             mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid,
             q_tile=q_tile, row_chunk=row_chunk,
             stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
-            int8_scores=int8_scores,
+            int8_scores=int8_scores, qmax=qmax,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_pad, d), x.dtype),
@@ -453,6 +455,7 @@ def long_model_forward(
     chunk_unroll: int = 1,
     int8_scores: bool = False,
     block_b: int = 1,
+    quant_max: float = 255.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The ENTIRE long-sequence stack in ONE Pallas call (see
     `_long_model_kernel`); numerics identical to ``depth`` chained
@@ -510,7 +513,7 @@ def long_model_forward(
         n_valid=n_valid, q_tile=q_tile, row_chunk=row_chunk,
         interpret=interpret, stripe_unroll=stripe_unroll,
         chunk_unroll=chunk_unroll, int8_scores=int8_scores,
-        block_b=block_b,
+        block_b=block_b, qmax=float(quant_max),
     )
     return x_out[:b], zq_out[:b]
 
@@ -534,6 +537,7 @@ def long_block_forward(
     chunk_unroll: int = 1,
     int8_scores: bool = False,
     block_b: int = 1,
+    quant_max: float = 255.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full long-sequence ViT block in one Pallas call.
 
@@ -583,7 +587,7 @@ def long_block_forward(
         mlp_dim=mlp_dim, act=act, eps=eps, n_valid=n_valid, q_tile=q_tile,
         row_chunk=row_chunk, interpret=interpret, phases=phases,
         stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
-        int8_scores=int8_scores, block_b=block_b,
+        int8_scores=int8_scores, block_b=block_b, qmax=float(quant_max),
     )
     return x_out[:b], zq_out[:b]
 

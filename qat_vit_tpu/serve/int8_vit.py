@@ -221,20 +221,6 @@ def int8_apply(
     cdt = compute_dtype
     qd = partial(quantized_dense, use_pallas=use_pallas, out_dtype=cdt)
 
-    if cfg.quant is not None and cfg.quant.activation.quant_max != 255:
-        # the Pallas block/fused kernels bake the full uint8 grid (0..255)
-        # into their quantize epilogues; a reduced-range (fbgemm) export must
-        # stay on paths whose quantizes read the export's quant_max
-        if (fused and fused not in ("none", "mixed_none")) or (
-            fused == "mixed_none" and attn_impl == "pallas_fused"
-        ):
-            raise NotImplementedError(
-                f"activation grid [0, {cfg.quant.activation.quant_max}] "
-                f"(backend {cfg.quant.backend!r}): fused mode {fused!r}"
-                f"/attn {attn_impl!r} bakes the 0..255 grid in-kernel; use "
-                "the exact path, 'mixed_none', or a qnnpack export"
-            )
-
     patches = _extract_patches(images.astype(jnp.float32), cfg.patch_size)
     x = qd(patches, qp["patch_embed"], qp["input_q"])
     B = x.shape[0]
@@ -390,6 +376,10 @@ def _fused_blocks(
     h_heads, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
     cdt = compute_dtype
+    # the activation grid top (255 qnnpack / 127 fbgemm reduced-range) is
+    # static config; every Pallas quantize epilogue takes it as a compile-
+    # time constant, so reduced-range exports ride the SAME fast rungs
+    qmax = float(cfg.quant.activation.quant_max) if cfg.quant else 255.0
     mixed = mode.startswith("mixed")
     pallas_qkv = mode in ("mixed", "mixed_qkv")
     pallas_fc1 = mode in ("mixed", "mixed_fc1")
@@ -417,7 +407,8 @@ def _fused_blocks(
     if mixed:
         zq = xla_ln_q(x, blk0["norm1"], blk0["norm1"]["out_q"])
     else:
-        zq = ln_quantize(x, blk0["norm1"], blk0["norm1"]["out_q"], eps=eps)
+        zq = ln_quantize(x, blk0["norm1"], blk0["norm1"]["out_q"], eps=eps,
+                         quant_max=qmax)
     for i in range(cfg.depth):
         blk = qp["blocks"][str(i)]
         if mixed and not pallas_qkv:
@@ -430,7 +421,7 @@ def _fused_blocks(
             # attention + proj-input quantize in one kernel epilogue
             o_q = fused_attention_qkv(
                 qkv.astype(attn_dtype), h_heads, hd,
-                out_q=blk["qkv"]["out_q"],
+                out_q=blk["qkv"]["out_q"], quant_max=qmax,
             )
         else:
             if attn_impl == "pallas_long":
@@ -469,7 +460,7 @@ def _fused_blocks(
             if pallas_fc1:
                 g_q = int8_dense_gelu_q(
                     zq2, blk["fc1"], blk["norm2"]["out_q"], blk["gelu_q"],
-                    act=cfg.act,
+                    act=cfg.act, quant_max=qmax,
                 )
             else:
                 f1 = xla_dense(zq2, blk["fc1"], blk["norm2"]["out_q"])
@@ -500,17 +491,18 @@ def _fused_blocks(
             x, zq2 = int8_dense_resid_ln_q(
                 o_q, blk["proj"], blk["qkv"]["out_q"], x,
                 blk["norm2"], blk["norm2"]["out_q"], eps=eps, out_dtype=cdt,
+                quant_max=qmax,
             )
             g_q = int8_dense_gelu_q(
                 zq2, blk["fc1"], blk["norm2"]["out_q"], blk["gelu_q"],
-                act=cfg.act,
+                act=cfg.act, quant_max=qmax,
             )
             # the fc2 epilogue carries the NEXT LayerNorm (block i+1's
             # norm1, or the final norm on the last block) and its input
             # quantization
             x, zq = int8_dense_resid_ln_q(
                 g_q, blk["fc2"], blk["gelu_q"], x,
-                nxt, nxt["out_q"], eps=eps, out_dtype=cdt,
+                nxt, nxt["out_q"], eps=eps, out_dtype=cdt, quant_max=qmax,
             )
 
     return _head_or_tokens(qp, zq, cfg, x.shape[1])
@@ -552,6 +544,7 @@ def _megablock_stack(
             "use fused='mixed_none' for quick-GELU models (OWLv2)"
         )
     eps = cfg.layer_norm_eps
+    qmax = float(cfg.quant.activation.quant_max) if cfg.quant else 255.0
     b, n, d = x.shape
     m = pad_multiple
     n_pad = max(m, -(-n // m) * m)
@@ -566,8 +559,8 @@ def _megablock_stack(
         x, zq = model_forward(
             zq, x, qp["blocks"], qp["norm"],
             num_heads=cfg.num_heads, head_dim=cfg.head_dim, depth=cfg.depth,
-            eps=eps, n_valid=n, block_b=block_b, interpret=interpret,
-            resident=resident,
+            eps=eps, n_valid=n, block_b=block_b, quant_max=qmax,
+            interpret=interpret, resident=resident,
         )
     else:
         for i in range(cfg.depth):
@@ -580,7 +573,8 @@ def _megablock_stack(
             x, zq = block_forward(
                 zq, x, blk, nxt,
                 num_heads=cfg.num_heads, head_dim=cfg.head_dim, eps=eps,
-                n_valid=n, block_b=block_b, interpret=interpret,
+                n_valid=n, block_b=block_b, quant_max=qmax,
+                interpret=interpret,
             )
 
     return _head_or_tokens(qp, zq, cfg, n)
@@ -624,6 +618,7 @@ def _megablock_long_stack(
             f"{cfg.act!r} models need the exact path"
         )
     eps = cfg.layer_norm_eps
+    qmax = float(cfg.quant.activation.quant_max) if cfg.quant else 255.0
     b, n, d = x.shape
     n_pad = long_megablock_pad(n, q_tile, row_chunk)
     if n_pad != n:
@@ -640,7 +635,7 @@ def _megablock_long_stack(
             act=cfg.act, eps=eps, n_valid=n, q_tile=q_tile,
             row_chunk=row_chunk, interpret=interpret,
             int8_scores=int8_scores, stripe_unroll=stripe_unroll,
-            chunk_unroll=chunk_unroll, block_b=block_b,
+            chunk_unroll=chunk_unroll, block_b=block_b, quant_max=qmax,
         )
     else:
         for i in range(cfg.depth):
@@ -656,7 +651,7 @@ def _megablock_long_stack(
                 eps=eps, n_valid=n, q_tile=q_tile, row_chunk=row_chunk,
                 interpret=interpret, int8_scores=int8_scores,
                 stripe_unroll=stripe_unroll, chunk_unroll=chunk_unroll,
-                block_b=block_b,
+                block_b=block_b, quant_max=qmax,
             )
 
     return _head_or_tokens(qp, zq, cfg, n)
@@ -673,9 +668,9 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
     from qat_vit_tpu.ops import _tiling as tiling
     from qat_vit_tpu.ops.block_kernel import megablock_shapes_ok
 
-    # the Pallas quantize epilogues bake the full uint8 grid; reduced-range
-    # (fbgemm) configs may only use rungs whose quantizes are XLA-side
-    full_grid = cfg.quant is None or cfg.quant.activation.quant_max == 255
+    # every Pallas quantize epilogue takes the activation grid top as a
+    # static constant (quant_max threading, round 5), so reduced-range
+    # (fbgemm) exports ride the same rungs as qnnpack ones
     d = cfg.num_heads * cfg.head_dim
     # the fused attention kernel tiles heads into 128-lane slabs with the
     # same divisibility requirements as the megablock kernel
@@ -685,7 +680,7 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
     # and must stay on the XLA attention forms
     n_tight = -(-cfg.seq_len // 32) * 32  # megablock's 32-sublane padding
     n_lane = -(-cfg.seq_len // 128) * 128  # fused attention pads to 128
-    if cfg.act == "gelu" and full_grid and attn_ok and tiling.batched_softmax_fits(
+    if cfg.act == "gelu" and attn_ok and tiling.batched_softmax_fits(
         cfg.num_heads, n_tight
     ):
         # geometry-aware batch tile: the largest block_b whose stacked
@@ -704,7 +699,7 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
             1,
         )
         return {"fused": f"megamodel:{bb}:tight"}
-    if full_grid and attn_ok and tiling.batched_softmax_fits(
+    if attn_ok and tiling.batched_softmax_fits(
         cfg.num_heads, n_lane
     ):
         # quick-GELU models keep fc1's activation in XLA (mixed_none computes
@@ -719,7 +714,6 @@ def _preset_kernel_opts(cfg: ViTConfig) -> Dict[str, Any]:
 
     if (
         cfg.act in ("gelu", "quick_gelu")
-        and full_grid
         and long_megablock_shapes_ok(cfg.num_heads, cfg.head_dim)
         and cfg.seq_len >= 1536
     ):

@@ -476,26 +476,70 @@ class TestFbgemmGrid:
         agree = (exact.argmax(-1) == mixed.argmax(-1)).mean()
         assert agree >= 0.9, agree
 
-    def test_fbgemm_rejects_baked_grid_kernels(self):
-        """Fused modes whose Pallas epilogues bake the 0..255 grid must
-        refuse reduced-range exports loudly."""
+    def test_fbgemm_quantize_epilogue_bit_identical_to_xla(self):
+        """The Pallas LN+quantize epilogue with quant_max=127 must produce
+        BIT-identical int8 to the XLA quantize on the same reduced grid —
+        the unit-level proof that the fbgemm grid is honored in-kernel."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from qat_vit_tpu.ops import fused_serve as fs
+        from qat_vit_tpu.serve.int8_vit import _ln_quantize_xla
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        ln = {"scale": jnp.ones((128,), jnp.float32),
+              "bias": jnp.zeros((128,), jnp.float32)}
+        out_q = {"scale": jnp.float32(0.03), "zero_point": jnp.float32(60.0),
+                 "quant_max": jnp.float32(127.0)}
+        ref = _ln_quantize_xla(x, ln, out_q, eps=1e-6)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.jit(lambda x: fs.ln_quantize(
+                x, ln, out_q, eps=1e-6, tile_m=64, quant_max=127.0,
+                interpret=True))(x)
+            jax.block_until_ready(got)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        assert int(np.asarray(got).max()) <= 127 - 128
+
+    def test_fbgemm_pallas_rungs_match_exact(self):
+        """Round-5 quant_max threading: the Pallas fused/megamodel rungs run
+        fbgemm exports on their real [0,127] grid and reproduce the exact
+        path (argmax-identical, close logits — the same numerics contract
+        the qnnpack rungs are held to in test_fused_serve.py)."""
         import flax.linen as nn
+        from jax.experimental.pallas import tpu as pltpu
 
         model, cfg, params, qs = _trained_micro_qat(backend="fbgemm", seed=5)
         qp = convert_vit(nn.meta.unbox(params), qs, cfg)
-        x = jnp.zeros((4, 32, 32, 3), jnp.float32)
-        for mode in ("pallas", "mixed", "megamodel:2:tight"):
-            with pytest.raises(NotImplementedError, match="0..255|grid"):
-                int8_apply(qp, x, cfg, fused=mode)
-        with pytest.raises(NotImplementedError, match="0..255|grid"):
-            int8_apply(qp, x, cfg, fused="mixed_none", attn_impl="pallas_fused")
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+        base = np.asarray(int8_apply(qp, x, cfg, gelu_approx=True))
 
-    def test_fbgemm_preset_avoids_baked_rungs(self):
-        """serving_preset's kernel selection must not hand a reduced-grid
-        config a baked-255 rung (backend-independent gate, testable on CPU)."""
+        def interp(**kw):
+            from functools import partial
+
+            with pltpu.force_tpu_interpret_mode():
+                out = jax.jit(partial(int8_apply, cfg=cfg, **kw))(qp, x)
+                jax.block_until_ready(out)
+            return np.asarray(out)
+
+        for kw in (
+            {"fused": "mixed", "compute_dtype": jnp.bfloat16},
+            {"fused": "megamodel:2:tight", "compute_dtype": jnp.bfloat16},
+            {"fused": "mixed_none", "attn_impl": "pallas_fused",
+             "compute_dtype": jnp.bfloat16},
+        ):
+            got = interp(**kw)
+            assert (base.argmax(-1) == got.argmax(-1)).all(), kw
+            np.testing.assert_allclose(got, base, rtol=0.06, atol=0.06,
+                                       err_msg=str(kw))
+
+    def test_fbgemm_preset_selects_fast_rungs(self):
+        """serving_preset now hands reduced-grid configs the SAME fast
+        kernel rungs as qnnpack ones (the epilogues take quant_max as a
+        compile-time constant) — performance parity, not just correctness."""
         from qat_vit_tpu.serve.int8_vit import _preset_kernel_opts
 
-        cfg = ViTConfig(quant=default_qat_qconfig("fbgemm"), qat_wrapper=True)
-        opts = _preset_kernel_opts(cfg)
-        assert "megamodel" not in opts.get("fused", "")
-        assert opts.get("attn_impl") != "pallas_fused"
+        fb = ViTConfig(quant=default_qat_qconfig("fbgemm"), qat_wrapper=True)
+        qn = ViTConfig(quant=default_qat_qconfig("qnnpack"), qat_wrapper=True)
+        assert _preset_kernel_opts(fb) == _preset_kernel_opts(qn)
+        assert "megamodel" in _preset_kernel_opts(fb).get("fused", "")
