@@ -74,6 +74,7 @@ def fused_moving_avg_obs_fake_quant(
     fake_quant: bool = True,
     averaging_constant: float = DEFAULT_AVERAGING_CONSTANT,
     axis_name=None,
+    stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Functional equivalent of one ``FusedMovingAvgObsFakeQuantize`` step.
 
@@ -90,7 +91,7 @@ def fused_moving_avg_obs_fake_quant(
         # Observation must not differentiate through x.
         new_min, new_max = update_moving_avg_minmax(
             min_val, max_val, jax.lax.stop_gradient(x), averaging_constant,
-            axis_name=axis_name,
+            axis_name=axis_name, stride=stride,
         )
     else:
         new_min, new_max = min_val, max_val
@@ -131,6 +132,7 @@ def observe_and_qparams(
     observe: bool,
     averaging_constant: float = DEFAULT_AVERAGING_CONSTANT,
     axis_name=None,
+    stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Observer update + qparams WITHOUT applying the fake-quant.
 
@@ -144,7 +146,7 @@ def observe_and_qparams(
     if observe:
         new_min, new_max = update_moving_avg_minmax(
             min_val, max_val, jax.lax.stop_gradient(x), averaging_constant,
-            axis_name=axis_name,
+            axis_name=axis_name, stride=stride,
         )
     else:
         new_min, new_max = min_val, max_val

@@ -60,6 +60,7 @@ class FakeQuantizer(nn.Module):
                 observe=update,
                 averaging_constant=self.cfg.averaging_constant,
                 axis_name=self.cfg.axis_name,
+                stride=self.cfg.observe_stride,
             )
             if update:
                 min_val.value = new_min
@@ -75,6 +76,7 @@ class FakeQuantizer(nn.Module):
             observe=update,
             averaging_constant=self.cfg.averaging_constant,
             axis_name=self.cfg.axis_name,
+            stride=self.cfg.observe_stride,
         )
         if update:
             min_val.value = new_min

@@ -30,6 +30,12 @@ class FakeQuantConfig:
     # (default) for single-device, GSPMD-partitioned, or weight observers
     # (weights are replicated — their min/max is already global).
     axis_name: Optional[str] = None
+    # Opt-in approximation (default 1 = exact): observe only the first
+    # 1/observe_stride of the tensor's leading axis (a contiguous prefix —
+    # see observers.update_moving_avg_minmax). The trainer sets this on
+    # ACTIVATION observers from the ``observer_stride`` hparam; weight
+    # observers stay exact (their tensors are small).
+    observe_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,6 +82,11 @@ DEFAULT_HPARAMS: Dict[str, Any] = {
     # full-scale ViT-S loop (docs/BENCHMARKS.md). The EMA adapts k× slower
     # — validate accuracy for your model before production.
     "observer_interval": 1,
+    # opt-in approximation: activation observers see only the first
+    # 1/observer_stride of each batch (contiguous prefix — strided gathers
+    # save nothing on TPU's 8-sublane tiles; quant/observers.py). 1 = exact
+    # reference semantics. Orthogonal to observer_interval.
+    "observer_stride": 1,
     "progress_bar": False,  # tqdm batch progress (ref qat_trainer.py:323-328)
     # per-block rematerialization: "none" | "dots" (save matmul/attention-
     # kernel outputs, recompute elementwise chains) | "full". Bit-identical

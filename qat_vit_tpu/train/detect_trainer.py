@@ -117,6 +117,14 @@ class DetectKDTrainer:
             text_dim=self.text_dim, **geo,
         )
         qconfig = default_qat_qconfig(self.hp.get("qat_backend", "qnnpack"))
+        obs_stride = max(1, int(self.hp.get("observer_stride", 1)))
+        if obs_stride > 1:
+            qconfig = dataclasses.replace(
+                qconfig,
+                activation=dataclasses.replace(
+                    qconfig.activation, observe_stride=obs_stride
+                ),
+            )
         from qat_vit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
         model_size = self.mesh.shape.get(MODEL_AXIS, 1)

@@ -161,6 +161,16 @@ class KDQATTrainer:
             family, num_classes=num_classes, image_size=image_size
         )
         qconfig = default_qat_qconfig(self.hp.get("qat_backend", "qnnpack"))
+        obs_stride = max(1, int(self.hp.get("observer_stride", 1)))
+        if obs_stride > 1:
+            # opt-in approximation: activation observers subsample the batch
+            # (quant/observers.py stride semantics); weight observers exact
+            qconfig = dataclasses.replace(
+                qconfig,
+                activation=dataclasses.replace(
+                    qconfig.activation, observe_stride=obs_stride
+                ),
+            )
         qat_dtype = (
             jnp.bfloat16 if self.hp.get("qat_amp", False) else jnp.float32
         )

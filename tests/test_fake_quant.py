@@ -311,3 +311,53 @@ class TestFakeQuantizerModule:
             )
             qs = mut["quant_stats"]
             np.testing.assert_allclose(np.asarray(yj), yt.numpy(), atol=1e-5)
+
+
+class TestObserveStride:
+    """Opt-in batch-subsample observation (hparam ``observer_stride``):
+    stride=1 is the exact default; stride=k observes EXACTLY the first
+    1/k of the leading axis (contiguous prefix — quant/observers.py
+    explains why a strided gather would save nothing on TPU tiles)."""
+
+    def test_stride_one_is_exact_default(self):
+        from qat_vit_tpu.quant.observers import update_moving_avg_minmax
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+        a = update_moving_avg_minmax(jnp.float32(jnp.inf),
+                                     jnp.float32(-jnp.inf), x)
+        b = update_moving_avg_minmax(jnp.float32(jnp.inf),
+                                     jnp.float32(-jnp.inf), x, stride=1)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_stride_observes_prefix_exactly(self):
+        from qat_vit_tpu.quant.observers import update_moving_avg_minmax
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+        got = update_moving_avg_minmax(
+            jnp.float32(0.5), jnp.float32(1.5), x, stride=4)
+        ref = update_moving_avg_minmax(
+            jnp.float32(0.5), jnp.float32(1.5), x[:16])
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_module_level_stride(self):
+        import dataclasses as dc
+
+        import flax.linen as nn  # noqa: F401
+
+        from qat_vit_tpu.quant.modules import FakeQuantizer
+        from qat_vit_tpu.quant.qconfig import default_qat_qconfig
+
+        cfg = dc.replace(default_qat_qconfig().activation, observe_stride=4)
+        m = FakeQuantizer(cfg)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+        variables = m.init(jax.random.key(0), x, observe=False)
+        _, mut = m.apply({"quant_stats": variables["quant_stats"]}, x,
+                         observe=True, mutable=["quant_stats"])
+        qs = mut["quant_stats"]
+        np.testing.assert_allclose(float(qs["min_val"]),
+                                   float(jnp.min(x[:16])))
+        np.testing.assert_allclose(float(qs["max_val"]),
+                                   float(jnp.max(x[:16])))
