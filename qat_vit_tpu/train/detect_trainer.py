@@ -677,7 +677,8 @@ def detect_train_main(hp: Dict[str, Any]) -> Dict[str, Any]:
             trainer.save_resume_state(
                 os.path.join(output_dir, "resume_state.msgpack"), epoch
             )
-        results.append({"epoch": epoch, **tm, **ev})
+        results.append({"epoch": epoch, **tm, **ev,
+                        "qat_enabled": trainer.qat_enabled})
         barrier("epoch_end")
 
     if dist.is_main_process:
