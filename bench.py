@@ -212,6 +212,59 @@ def bench_int8_infer(preset: bool = True) -> float:
     )
 
 
+DETECT_BATCH = 8
+DETECT_ITERS = 20
+
+
+def bench_int8_detect():
+    """Batch-8 OWLv2-pruned FULL int8 detection forward (int8 tower through
+    the serving preset's long-sequence whole-model Pallas kernel + float
+    box/class/objectness heads) — the detection serving headline
+    (VERDICT r4 directive 1a). Returns (ms_per_batch_min, ms_median)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from qat_vit_tpu.models.owlv2_detect import create_detector
+    from qat_vit_tpu.serve.int8_detect import convert_detector, int8_detect_apply
+    from qat_vit_tpu.serve.int8_vit import serving_preset
+
+    det, cfg = create_detector(pruned=True, qat_wrapper=True)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(2, cfg.image_size, cfg.image_size, 3))
+                     .astype(np.float32))
+    v = det.init(jax.random.key(0), x0, observe=False)
+    _, mut = det.apply(
+        {"params": v["params"], "quant_stats": v["quant_stats"]}, x0,
+        observe=True, mutable=["quant_stats"],
+    )
+    export = jax.device_put(convert_detector(
+        nn.meta.unbox(v["params"]), mut["quant_stats"], cfg))
+    pixels = jnp.asarray(
+        rng.normal(size=(DETECT_BATCH, cfg.image_size, cfg.image_size, 3))
+        .astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(DETECT_BATCH, 4, 512))
+                          .astype(np.float32))
+    opts = tuple(sorted(serving_preset(cfg).items()))
+
+    @jax.jit
+    def run(export, pixels, queries):
+        def body(i, acc):
+            # i-dependent input so the body is not loop-invariant-hoistable
+            out = int8_detect_apply(export, pixels + jnp.float32(i) * 1e-9,
+                                    cfg, queries, **dict(opts))
+            return (acc + jnp.sum(out["pred_boxes"])
+                    + jnp.sum(out["objectness_logits"])
+                    + jnp.sum(out["logits"]))
+
+        return jax.lax.fori_loop(0, DETECT_ITERS, body, jnp.zeros(()))
+
+    float(run(export, pixels, queries))  # compile
+    dt, dt_med = _timeit(lambda: float(run(export, pixels, queries)))
+    oh = _dispatch_overhead()
+    return ((dt - oh) / DETECT_ITERS * 1e3, (dt_med - oh) / DETECT_ITERS * 1e3)
+
+
 def _watchdog_main() -> None:
     """Re-run the bench in a child process, guarding against the tunnel's
     client-turnover wedge (CLAUDE.md): a client that registers seconds after
@@ -319,6 +372,12 @@ def main() -> None:
         infer = infer_ips = None
 
         print(f"int8 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    try:
+        detect_ms = bench_int8_detect()
+    except Exception as e:  # detection extra must not sink the headline
+        detect_ms = None
+        print(f"int8 detect bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     result = {
         "metric": "qat_train_imgs_per_sec_per_chip",
         "value": round(train_ips, 1),
@@ -326,6 +385,15 @@ def main() -> None:
         "vs_baseline": round(train_ips / BASELINE_QAT_TRAIN_IMGS_PER_SEC, 2),
         "extras": {
             "int8_infer_imgs_per_sec": round(infer_ips, 1) if infer_ips else None,
+            "int8_detect_ms_per_batch8": (
+                round(detect_ms[0], 2) if detect_ms else None),
+            "int8_detect_imgs_per_sec": (
+                round(DETECT_BATCH / (detect_ms[0] / 1e3), 1)
+                if detect_ms else None),
+            "int8_detect_spread_ms": (
+                {"min": round(detect_ms[0], 2),
+                 "median": round(detect_ms[1], 2), "n": REPEATS}
+                if detect_ms else None),
             "qat_train_spread": spread(train),
             "int8_infer_spread": spread(infer) if infer else None,
             "teacher_every_step_spread": spread(train_full),

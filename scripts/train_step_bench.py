@@ -75,7 +75,7 @@ def main():
           f"dispatch_overhead={oh * 1e3:.1f}ms")
 
     def build(dtype, quant=True, fast=None, attn_kernel=True, remat="none",
-              fq_in_kernel=False):
+              fq_in_kernel=False, obs_stride=1):
         # QVT_MODEL selects the geometry (default ViT-S student; e.g.
         # QVT_MODEL=vit_base_patch16_224_teacher measures the QAT step on
         # ViT-B — the training kernels are geometry-generic)
@@ -92,6 +92,11 @@ def main():
                                   fq_in_kernel=fq_in_kernel)
         if not quant:  # the float-phase module (no fake-quant sites)
             cfg = dataclasses.replace(cfg, quant=None, qat_wrapper=False)
+        if obs_stride > 1 and cfg.quant is not None:
+            # opt-in batch-subsample observation (hparam observer_stride)
+            cfg = dataclasses.replace(cfg, quant=dataclasses.replace(
+                cfg.quant, activation=dataclasses.replace(
+                    cfg.quant.activation, observe_stride=obs_stride)))
         return ModelBundle(student.name, VisionTransformer(cfg), cfg)
 
     # image size follows the selected model's geometry (768 for OWLv2)
@@ -422,6 +427,12 @@ def main():
 
     bench("qat_step_dispatch", lambda: full_step_dispatch(bf16, 1))
     bench("qat_step_obs4_dispatch", lambda: full_step_dispatch(bf16, 4))
+    # observer_stride A/B (round 5): every-step observation, but activation
+    # observers read only the first 1/k of the batch (contiguous prefix)
+    bench("qat_step_stride4_dispatch",
+          lambda: full_step_dispatch(build(jnp.bfloat16, obs_stride=4), 1))
+    bench("qat_step_stride8_dispatch",
+          lambda: full_step_dispatch(build(jnp.bfloat16, obs_stride=8), 1))
 
     def full_step_obs_cond(bundle, interval):
         """observer_interval as ONE executable: lax.cond(step %% k) between
