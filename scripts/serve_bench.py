@@ -117,6 +117,20 @@ def main():
         student = create_model(model_name, qat_wrapper=True)
     else:
         student = create_student("vit")
+    # QVT_BACKEND=fbgemm: serve a reduced-range export ([0,127] activations)
+    # — the round-5 quant_max threading puts it on the same kernel rungs;
+    # A/B against the default to confirm performance parity across grids
+    backend = os.environ.get("QVT_BACKEND", "")
+    if backend:
+        import dataclasses
+
+        from qat_vit_tpu.models import ModelBundle
+        from qat_vit_tpu.models.vit import VisionTransformer
+        from qat_vit_tpu.quant import default_qat_qconfig
+
+        cfg2 = dataclasses.replace(
+            student.cfg, quant=default_qat_qconfig(backend))
+        student = ModelBundle(student.name, VisionTransformer(cfg2), cfg2)
     size = student.cfg.image_size  # 224 ViT-S/B; 768 owlv2_student_pruned
     variables = nn.meta.unbox(
         student.module.init(jax.random.key(0), student.example_input(1),
