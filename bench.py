@@ -231,15 +231,22 @@ def bench_int8_detect():
 
     det, cfg = create_detector(pruned=True, qat_wrapper=True)
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.normal(size=(2, cfg.image_size, cfg.image_size, 3))
-                     .astype(np.float32))
-    v = det.init(jax.random.key(0), x0, observe=False)
-    _, mut = det.apply(
-        {"params": v["params"], "quant_stats": v["quant_stats"]}, x0,
-        observe=True, mutable=["quant_stats"],
-    )
-    export = jax.device_put(convert_detector(
-        nn.meta.unbox(v["params"]), mut["quant_stats"], cfg))
+    # export built on the HOST CPU: init/observe/convert of the full QAT
+    # detector graph is a huge remote-compile surface (it once wedged the
+    # tunnel for 30+ min); only the serving program compiles remotely
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0 = jnp.asarray(
+            rng.normal(size=(2, cfg.image_size, cfg.image_size, 3))
+            .astype(np.float32))
+        v = det.init(jax.random.key(0), x0, observe=False)
+        _, mut = det.apply(
+            {"params": v["params"], "quant_stats": v["quant_stats"]}, x0,
+            observe=True, mutable=["quant_stats"],
+        )
+        export = convert_detector(
+            nn.meta.unbox(v["params"]), mut["quant_stats"], cfg)
+    export = jax.device_put(jax.device_get(export))
     pixels = jnp.asarray(
         rng.normal(size=(DETECT_BATCH, cfg.image_size, cfg.image_size, 3))
         .astype(np.float32))

@@ -53,25 +53,36 @@ def main() -> None:
     det, cfg = create_detector(pruned=True, qat_wrapper=True, **geo)
     print(f"backend={jax.default_backend()} batch={batch} "
           f"geometry: {cfg.image_size}px seq={cfg.seq_len} d={cfg.embed_dim} "
-          f"depth={cfg.depth} heads={cfg.num_heads}")
+          f"depth={cfg.depth} heads={cfg.num_heads}", flush=True)
+    # tunnel liveness FIRST (a trivial compile): if this doesn't print within
+    # a minute the client hit the registration wedge (CLAUDE.md) — the
+    # watchdog's stall detector keys on it
+    oh = dispatch_overhead()
+    print(f"dispatch_overhead={oh * 1e3:.1f} ms", flush=True)
+    # Build the export ON THE HOST CPU: init/observe/convert trace the full
+    # QAT detector graph — a huge remote-compile surface that once held the
+    # tunnel for 30+ min before the first measurement. Only the serving
+    # program below compiles remotely.
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.normal(size=(2, cfg.image_size, cfg.image_size, 3))
-                     .astype(np.float32))
-    v = det.init(jax.random.key(0), x0, observe=False)
-    _, mut = det.apply(
-        {"params": v["params"], "quant_stats": v["quant_stats"]}, x0,
-        observe=True, mutable=["quant_stats"],
-    )
-    export = convert_detector(nn.meta.unbox(v["params"]), mut["quant_stats"],
-                              cfg)
-    export = jax.device_put(export)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0 = jnp.asarray(
+            rng.normal(size=(2, cfg.image_size, cfg.image_size, 3))
+            .astype(np.float32))
+        v = det.init(jax.random.key(0), x0, observe=False)
+        _, mut = det.apply(
+            {"params": v["params"], "quant_stats": v["quant_stats"]}, x0,
+            observe=True, mutable=["quant_stats"],
+        )
+        export = convert_detector(nn.meta.unbox(v["params"]),
+                                  mut["quant_stats"], cfg)
+    export = jax.device_put(jax.device_get(export))
+    print("export built (host) and staged to device", flush=True)
 
     pixels = jnp.asarray(
         rng.normal(size=(batch, cfg.image_size, cfg.image_size, 3))
         .astype(np.float32))
     queries = jnp.asarray(rng.normal(size=(batch, 4, 512)).astype(np.float32))
-    oh = dispatch_overhead()
-    print(f"dispatch_overhead={oh * 1e3:.1f} ms")
 
     for variant in variants:
         if variant == "preset":
