@@ -73,6 +73,7 @@ def _hp(args, data_dir: str, **over):
         task="detection", image_size=args.image_size,
         batch_size=args.batch_size, eval_batch_size=args.batch_size,
         epochs=args.epochs, qat_start_epoch=args.qat_start_epoch,
+        limit_eval_batches=args.limit_eval_batches,
         data_dir=data_dir, seed=args.seed,
         mlflow_uri=f"sqlite:///{args.workdir}/mlflow.db",
         experiment="clue-vit-qat-detect",
@@ -198,6 +199,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--qat-start-epoch", type=int, default=3)
     p.add_argument("--delta-batches", type=int, default=60)
+    p.add_argument("--limit-eval-batches", type=int, default=0,
+                   help="cap per-epoch eval batches (0 = full test set); "
+                        "the detection eval runs the TEACHER too, ~5 min per"
+                        " full-10k pass at 768px over the tunnel")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--micro", action="store_true",
                    help="micro geometry smoke of the phase plumbing (CPU)")
