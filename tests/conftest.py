@@ -81,6 +81,12 @@ def pytest_configure(config):
         "timeout_s(seconds): per-test hang-watchdog override "
         "(default 900s; dumps all stacks and exits on expiry)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: end-to-end / interpret-mode-heavy tests (>=~20s each). "
+        "Fast lane: `pytest -m 'not slow'` (~10 min); the FULL suite "
+        "(`pytest tests/ -q`, ~35 min) is the merge gate.",
+    )
 
 
 @pytest.hookimpl(hookwrapper=True)

@@ -58,6 +58,7 @@ def _run_qat_step(cfg, x, variables):
 
 
 class TestFqInKernel:
+    pytestmark = pytest.mark.slow
     def test_kernel_branch_is_taken(self, interp):
         """Guard against the gate silently routing to the unfused path."""
         from qat_vit_tpu.ops.flash_attention_train import (

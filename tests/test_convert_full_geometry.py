@@ -121,6 +121,7 @@ def _hf_vision_agreement(hf_model, img, dim, depth, heads, mlp_dim, eps,
 
 
 class TestHFVisionTowers:
+    pytestmark = pytest.mark.slow
     def test_owlv2_vision_model_real_module(self):
         """The real ``transformers.Owlv2VisionModel`` at full depth/width
         (768x12x12, quick-GELU, ``pre_layernorm``, bias-free patch conv),

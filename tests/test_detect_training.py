@@ -53,6 +53,7 @@ def _micro_bundles():
 
 
 class TestDetectKDTrainer:
+    pytestmark = pytest.mark.slow
     def test_convergence_and_int8_export(self):
         """Losses drop across the float phase and again under QAT; observers
         populate; convert produces an int8 detector that agrees with its
@@ -186,6 +187,7 @@ class TestDetectKDTrainer:
 
 
 class TestDetectTrainerParity:
+    pytestmark = pytest.mark.slow
     """Round-5 feature parity with the classification trainer (VERDICT r4
     directive 2): teacher-output cache, observer_interval, mid-run resume."""
 

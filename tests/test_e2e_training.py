@@ -48,6 +48,7 @@ def micro_models():
 
 
 class TestEndToEnd:
+    pytestmark = pytest.mark.slow
     def test_full_pipeline(self, tmp_path, micro_models):
         student, teacher = micro_models
         hp = _micro_hparams(tmp_path)
@@ -248,6 +249,7 @@ class TestEndToEnd:
 
 
 class TestLazyTeacherCache:
+    pytestmark = pytest.mark.slow
     """Limited-batch runs fill the teacher-logit cache per visited batch
     (an eager 50k-image pass costs ~14 min at OWLv2 teacher scale while a
     micro run touches a few dozen rows); lazy and eager fills must train

@@ -160,6 +160,7 @@ class TestFusedDense:
 
 
 class TestFusedPipeline:
+    pytestmark = pytest.mark.slow
     def test_fused_forward_matches_unfused(self):
         import flax.linen as nn
 
@@ -188,6 +189,7 @@ class TestFusedPipeline:
 
 
 class TestMegablock:
+    pytestmark = pytest.mark.slow
     def test_megablock_forward_matches_unfused(self):
         """The whole-block kernel stack (ops/block_kernel.py) reproduces the
         exact serving forward: identical argmax, close logits (bf16 residual
@@ -254,6 +256,7 @@ class TestMegablock:
 
 
 class TestLongMegablock:
+    pytestmark = pytest.mark.slow
     def test_quick_gelu_matches_exact(self):
         """The long-sequence whole-block kernel (ops/long_block_kernel.py)
         reproduces the exact serving forward on a CLIP-style tower

@@ -1,5 +1,8 @@
 """2-process multi-host end-to-end: the distributed-correctness claim, run.
 
+import pytest
+
+pytestmark = pytest.mark.slow
 Spawns two real ``jax.distributed`` processes (4 CPU devices each -> one
 8-device global mesh, Gloo cross-process collectives) through the complete
 ``train_main`` pipeline — float phase, QAT switch, last-epoch convert,

@@ -116,6 +116,7 @@ class TestFlaxVisionTower:
 
 
 class TestOwlv2QATPath:
+    pytestmark = pytest.mark.slow
     def test_kd_qat_convert_int8_micro(self, tmp_path):
         """Full KD→QAT→convert→int8 on a micro OWLv2-style tower (pre-norm,
         quick-GELU, bias-free patch embed) — proves the family is first-class

@@ -109,6 +109,7 @@ class TestMedianPruner:
 
 
 class TestDriverMicro:
+    pytestmark = pytest.mark.slow
     def test_search_micro_end_to_end(self, tmp_path):
         """2-trial micro search → best_params.yaml consumable by the trainer."""
         import yaml
@@ -144,6 +145,7 @@ class TestDriverMicro:
 
 
 class TestDriverDetection:
+    pytestmark = pytest.mark.slow
     def test_detection_search_micro_end_to_end(self, tmp_path):
         """2-trial micro DETECTION search (task plumbing, VERDICT r4
         directive 3): TPE over lr/wd/T/box_weight/obj_weight/qat_start with

@@ -100,6 +100,7 @@ def _batch(seed, n=16):
 
 
 class TestDataParallel:
+    pytestmark = pytest.mark.slow
     def test_dp8_matches_single_device(self):
         """The sharded step must compute the same update as one device —
         the defining property of synchronous DP (≙ DDP all-reduce)."""
@@ -331,6 +332,7 @@ class TestOptimizerParity:
 
 
 class TestQatAmp:
+    pytestmark = pytest.mark.slow
     def test_bf16_qat_step_runs_and_learns(self):
         """Opt-in qat_amp: bf16 matmuls under fake-quant — step runs, loss
         finite, observers finite, params update."""

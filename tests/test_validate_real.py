@@ -12,6 +12,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _load_script():
     path = os.path.join(os.path.dirname(os.path.dirname(

@@ -254,6 +254,7 @@ class TestRegistry:
 
 
 class TestRemat:
+    pytestmark = pytest.mark.slow
     """Per-block rematerialization (cfg.remat) is a pure scheduling knob:
     loss, gradients, AND observer-stat updates must be bit-identical to the
     unrematerialized model (the QAT bandwidth-for-FLOPs trade,
